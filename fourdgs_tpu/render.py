@@ -1,0 +1,76 @@
+"""Public rendering API: preprocess → tile binning → blend.
+
+Mirrors the reference `gaussian_renderer.render()` output contract
+(`gaussian_renderer/__init__.py:19-194`): color, viewspace-gradient tap,
+visibility, radii, depth, alpha, flow — as one jittable function over
+static-shape padded gaussian arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import blend as blend_lib
+from .ops import binning
+from .ops import preprocess as pre
+from .ops.preprocess import CameraArrays, RenderOptions
+
+
+class RenderOutputs(NamedTuple):
+    color: jax.Array        # (H, W, 3)
+    depth: jax.Array        # (H, W) alpha-weighted, unnormalized
+    alpha: jax.Array        # (H, W)
+    flow: jax.Array         # (H, W, 2)
+    radii: jax.Array        # (P,) int32 screen radius (0 = invisible)
+    visible: jax.Array      # (P,) bool
+    num_rendered: jax.Array  # () int32 (host checks vs capacity)
+    max_per_tile: jax.Array  # () int32 (host checks vs blend bound)
+
+
+def render(
+    *,
+    means3d: jax.Array,
+    t: jax.Array,
+    scales: jax.Array,
+    scales_t: jax.Array,
+    rotations: jax.Array,
+    rotations_r: jax.Array,
+    opacity: jax.Array,
+    sh: jax.Array,
+    active: jax.Array,
+    camera: CameraArrays,
+    bg: jax.Array,
+    opts: RenderOptions,
+    capacity: int,
+    max_per_tile: int = 1024,
+    chunk: int = 32,
+    sh_mask: jax.Array | None = None,
+    mean2d_tap: jax.Array | None = None,
+    colors_precomp: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+) -> RenderOutputs:
+    """Render one camera. All inputs post-activation; see `preprocess`."""
+    proc = pre.preprocess(
+        means3d=means3d, t=t, scales=scales, scales_t=scales_t,
+        rotations=rotations, rotations_r=rotations_r, opacity=opacity,
+        sh=sh, active=active, camera=camera, opts=opts, sh_mask=sh_mask,
+        mean2d_tap=mean2d_tap, colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp)
+
+    bins = binning.bin_gaussians(
+        jax.lax.stop_gradient(proc), opts, capacity)
+
+    feat = jnp.concatenate(
+        [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
+    cfg = blend_lib.make_blend_config(opts, chunk=chunk,
+                                      max_per_tile=max_per_tile)
+    color, depth_img, flow_img, alpha_img = blend_lib.blend(
+        cfg, proc.xy, proc.conic, proc.opacity, feat, bg, bins)
+
+    return RenderOutputs(
+        color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
+        radii=proc.radius, visible=proc.visible,
+        num_rendered=bins.num_rendered, max_per_tile=bins.max_per_tile)

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding is exercised without TPU hardware."""
+
+import os
+
+# Hard-override the machine's axon/TPU preset (the plugin ignores a plain
+# JAX_PLATFORMS=cpu, so belt and braces, including the config knob below).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["PJRT_DEVICE"] = "CPU"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
