@@ -1,0 +1,87 @@
+"""Losses vs a torch oracle that replicates the reference formulas
+(`utils/loss_utils.py`) exactly."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from fourdgs_tpu.utils import losses
+
+
+def _torch_ssim(img1, img2, window_size=11):
+    """Reference _ssim (loss_utils.py:44-64), channel-first torch."""
+    sigma = 1.5
+    gauss = torch.tensor(
+        [math.exp(-(x - window_size // 2) ** 2 / (2 * sigma ** 2))
+         for x in range(window_size)])
+    g1 = (gauss / gauss.sum()).unsqueeze(1)
+    window2d = g1.mm(g1.t()).float().unsqueeze(0).unsqueeze(0)
+    c = img1.size(-3)
+    window = window2d.expand(c, 1, window_size, window_size).contiguous()
+    pad = window_size // 2
+    mu1 = F.conv2d(img1, window, padding=pad, groups=c)
+    mu2 = F.conv2d(img2, window, padding=pad, groups=c)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = F.conv2d(img1 * img1, window, padding=pad, groups=c) - mu1_sq
+    s2 = F.conv2d(img2 * img2, window, padding=pad, groups=c) - mu2_sq
+    s12 = F.conv2d(img1 * img2, window, padding=pad, groups=c) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return m.mean().item()
+
+
+def test_ssim_matches_reference_formula(rng):
+    a = rng.random((1, 37, 45, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    ours = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    theirs = _torch_ssim(torch.from_numpy(a).permute(0, 3, 1, 2),
+                         torch.from_numpy(b).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_identical_is_one(rng):
+    a = rng.random((32, 32, 3)).astype(np.float32)
+    assert abs(float(losses.ssim(jnp.asarray(a), jnp.asarray(a))) - 1.0) < 1e-5
+
+
+def test_msssim_sanity(rng):
+    a = rng.random((1, 180, 200, 3)).astype(np.float32)
+    same = float(losses.msssim(jnp.asarray(a), jnp.asarray(a)))
+    assert abs(same - 1.0) < 1e-4
+    noisy1 = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    noisy2 = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1).astype(np.float32)
+    m1 = float(losses.msssim(jnp.asarray(a), jnp.asarray(noisy1)))
+    m2 = float(losses.msssim(jnp.asarray(a), jnp.asarray(noisy2)))
+    assert 0 < m2 < m1 < 1.0
+
+
+def test_psnr(rng):
+    a = rng.random((8, 8, 3)).astype(np.float32)
+    b = np.clip(a + 0.1, 0, 1).astype(np.float32)
+    mse = np.mean((a - b) ** 2)
+    expect = 20 * np.log10(1.0 / np.sqrt(mse))
+    np.testing.assert_allclose(float(losses.psnr(jnp.asarray(a), jnp.asarray(b))),
+                               expect, rtol=1e-5)
+
+
+def test_l1_and_photometric(rng):
+    a = rng.random((16, 16, 3)).astype(np.float32)
+    b = rng.random((16, 16, 3)).astype(np.float32)
+    l1 = float(losses.l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(l1, np.abs(a - b).mean(), rtol=1e-6)
+    loss, ll1, lssim = losses.photometric_loss(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        float(loss), 0.8 * float(ll1) + 0.2 * float(lssim), rtol=1e-6)
+
+
+def test_opacity_mask_loss():
+    alpha = jnp.full((4, 4), 0.5)
+    mask = jnp.zeros((4, 4))  # all sky
+    val = float(losses.opacity_mask_loss(alpha, mask))
+    np.testing.assert_allclose(val, -np.log(0.5), rtol=1e-5)
+    # fully foreground -> no penalty
+    assert float(losses.opacity_mask_loss(alpha, jnp.ones((4, 4)))) == 0.0
