@@ -1,0 +1,377 @@
+"""Host-side training driver: scene setup, camera batching, the jitted
+step, densification events, capacity management, eval, checkpointing.
+
+Mirrors the reference `training()` control flow (`train.py:37-252`) with
+the TPU execution model: static-shape jitted step + host-driven events
+(densify / opacity reset / capacity growth) at the reference cadences.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig, sh_degree_t
+from ..data.cameras import Camera, stack_cameras
+from ..data.scene import SceneInfo, load_image_composited, load_scene, resize_image
+from ..models import densify as dz
+from ..models import envmap as envmap_lib
+from ..models.gaussians import (GaussianState, activate, capacity_for,
+                                init_from_pcd)
+from ..ops.preprocess import CameraArrays, RenderOptions
+from ..ops.sh import num_sh_channels
+from ..render import render
+from ..utils import losses as loss_lib
+from . import checkpoint as ckpt_lib
+from .step import StepConfig, make_train_step
+
+
+def _round_up(x: int, m: int) -> int:
+    return (int(x) + m - 1) // m * m
+
+
+def camera_intrinsics(cam: Camera) -> np.ndarray:
+    """[fl_x, fl_y, cx, cy] with fov fallback (for env-map rays)."""
+    if cam.fl_x > 0:
+        return np.array([cam.fl_x, cam.fl_y, cam.cx, cam.cy], np.float32)
+    fl_x = cam.width / (2 * math.tan(cam.fovx / 2))
+    fl_y = cam.height / (2 * math.tan(cam.fovy / 2))
+    return np.array([fl_x, fl_y, cam.width / 2, cam.height / 2], np.float32)
+
+
+def fetch_gt(cam: Camera, white_background: bool):
+    """(image (H,W,3), alpha (H,W)) for one camera; lazy cameras load +
+    composite + resize here (reference CameraDataset.__getitem__,
+    `utils/data_utils.py:16-34`). The reference multiplies the gt image by
+    the alpha mask when one exists (`scene/cameras.py:53-56`)."""
+    if cam.image is not None:
+        img, alpha = cam.image, cam.alpha_mask
+    else:
+        img, alpha = load_image_composited(cam.image_path, white_background)
+        img = resize_image(img, (cam.width, cam.height))
+        if alpha is not None:
+            alpha = resize_image(alpha, (cam.width, cam.height))
+    if alpha is not None:
+        img = img * alpha[..., None]
+    else:
+        alpha = np.ones(img.shape[:2], np.float32)
+    return img.astype(np.float32), alpha.astype(np.float32)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, scene: Optional[SceneInfo] = None,
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        opt = cfg.optimization
+
+        self.time_duration = list(cfg.time_duration)
+        if cfg.model.frame_ratio > 1:
+            self.time_duration = [t / cfg.model.frame_ratio
+                                  for t in self.time_duration]
+
+        if scene is None:
+            scene = load_scene(
+                cfg.model.source_path,
+                images=cfg.model.images,
+                white_background=cfg.model.white_background,
+                eval_holdout=cfg.model.eval,
+                extension=cfg.model.extension,
+                num_pts=cfg.num_pts,
+                num_pts_ratio=cfg.num_pts_ratio,
+                time_duration=self.time_duration,
+                num_extra_pts=cfg.model.num_extra_pts,
+                frame_ratio=cfg.model.frame_ratio,
+                dataloader=cfg.model.dataloader,
+                resolution=cfg.model.resolution,
+                seed=cfg.seed)
+        self.scene = scene
+        self.spatial_lr_scale = scene.radius
+
+        cam0 = scene.train_cameras[0]
+        self.opts = RenderOptions(
+            height=cam0.height, width=cam0.width,
+            gaussian_dim=cfg.gaussian_dim, rot_4d=cfg.rot_4d,
+            force_sh_3d=cfg.force_sh_3d,
+            time_duration=float(self.time_duration[1] - self.time_duration[0]),
+            prefilter_var=cfg.model.prefilter_var)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
+            jnp.float32)
+
+        self.sh_deg_t = sh_degree_t(cfg)
+        sh_channels = num_sh_channels(
+            cfg.model.sh_degree, self.sh_deg_t, cfg.gaussian_dim,
+            cfg.force_sh_3d)
+
+        pcd = scene.point_cloud
+        self.gauss = init_from_pcd(
+            pcd.points, pcd.colors, sh_channels=sh_channels,
+            time_duration=tuple(self.time_duration),
+            times=pcd.times, capacity=capacity_for(
+                len(pcd.points), cfg.capacity_slack), seed=cfg.seed)
+        self.env = (envmap_lib.init_envmap(cfg.pipeline.env_map_res)
+                    if cfg.pipeline.env_map_res > 0 else None)
+        self.step = 0
+        self.best_psnr = 0.0
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        self.step_cfg = StepConfig(
+            lambda_dssim=opt.lambda_dssim,
+            lambda_opa_mask=opt.lambda_opa_mask,
+            lambda_rigid=opt.lambda_rigid,
+            lambda_motion=opt.lambda_motion,
+            position_lr_init=opt.position_lr_init,
+            position_lr_final=opt.position_lr_final,
+            position_lr_delay_mult=opt.position_lr_delay_mult,
+            position_lr_max_steps=opt.position_lr_max_steps,
+            position_t_lr_init=opt.position_t_lr_init,
+            feature_lr=opt.feature_lr,
+            opacity_lr=opt.opacity_lr,
+            scaling_lr=opt.scaling_lr,
+            rotation_lr=opt.rotation_lr,
+            spatial_lr_scale=float(self.spatial_lr_scale),
+            sh_increase_interval=opt.sh_increase_interval,
+            sh_degree=cfg.model.sh_degree,
+            sh_degree_t=self.sh_deg_t,
+            env_map_res=cfg.pipeline.env_map_res,
+            env_optimize_from=cfg.pipeline.env_optimize_from,
+            env_optimize_until=cfg.pipeline.env_optimize_until)
+
+        self.densify_cfg = dz.DensifyConfig(
+            grad_threshold=opt.densify_grad_threshold,
+            grad_t_threshold=opt.densify_grad_t_threshold,
+            min_opacity=opt.thresh_opa_prune,
+            percent_dense=opt.percent_dense)
+
+        # Tile-instance budget (static shapes): probed, grown on demand.
+        self.inst_capacity = _round_up(
+            4 * len(pcd.points) * cfg.instance_slack, 65536)
+        self.tile_capacity = 2048
+        self.chunk = 32
+        self._step_fn = None
+        self._eval_fn = None
+        self._io_pool = ThreadPoolExecutor(max_workers=8)
+
+        self._probe_and_grow()
+
+        if cfg.start_checkpoint:
+            self.load(cfg.start_checkpoint)
+
+    # ------------------------------------------------------------------ IO
+    def log(self, msg: str):
+        if self.verbose:
+            print(f"[fourdgs] {msg}", flush=True)
+
+    def save(self, path: str):
+        ckpt_lib.save_checkpoint(path, self.gauss, self.env, self.step,
+                                 extra={"best_psnr": self.best_psnr})
+
+    def load(self, path: str):
+        self.gauss, self.env, self.step, extra = ckpt_lib.load_checkpoint(path)
+        self.best_psnr = extra.get("best_psnr", 0.0)
+        self._step_fn = None
+
+    # ---------------------------------------------------------- batching
+    def _batch_arrays(self, idx: List[int], train: bool = True):
+        cams = [self.scene.train_cameras[i] if train
+                else self.scene.test_cameras[i] for i in idx]
+        arrays = stack_cameras(cams)
+        white = self.cfg.model.white_background
+        gts = list(self._io_pool.map(lambda c: fetch_gt(c, white), cams))
+        gt = np.stack([g[0] for g in gts])
+        alpha = np.stack([g[1] for g in gts])
+        intr = np.stack([camera_intrinsics(c) for c in cams])
+        return arrays, gt, alpha, intr
+
+    def _epoch_batches(self):
+        n = len(self.scene.train_cameras)
+        b = self.cfg.batch_size
+        order = self.rng.permutation(n)
+        for i in range(0, n - b + 1, b):   # drop_last=True (train.py:80)
+            yield [int(j) for j in order[i: i + b]]
+
+    # ------------------------------------------------------- step builders
+    def _build_step(self):
+        self._step_fn = make_train_step(
+            self.opts, self.step_cfg,
+            capacity=self.inst_capacity,
+            max_per_tile=self.tile_capacity,
+            chunk=self.chunk,
+            batch_size=self.cfg.batch_size)
+
+    def _render_eval(self, cam_arrays: CameraArrays, intr):
+        if self._eval_fn is None:
+            opts, cap, mpt, chunk = (self.opts, self.inst_capacity,
+                                     self.tile_capacity, self.chunk)
+            has_env = self.env is not None
+
+            @jax.jit
+            def eval_fn(gauss: GaussianState, env_tex, cam, intr):
+                act = activate(gauss.params, gauss.n_active)
+                out = render(
+                    means3d=act.means3d, t=act.t, scales=act.scales,
+                    scales_t=act.scales_t, rotations=act.rotations,
+                    rotations_r=act.rotations_r, opacity=act.opacity,
+                    sh=act.sh, active=act.active, camera=cam, bg=self.bg,
+                    opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk)
+                color = out.color
+                if has_env:
+                    color = envmap_lib.composite_sky(
+                        color, out.alpha, env_tex, cam.viewmatrix, intr)
+                return (jnp.clip(color, 0.0, 1.0), out.depth, out.alpha,
+                        out.num_rendered, out.max_per_tile)
+            self._eval_fn = eval_fn
+        tex = self.env.texture if self.env is not None else None
+        return self._eval_fn(self.gauss, tex, cam_arrays, intr)
+
+    def _probe_and_grow(self):
+        """Render the first camera and grow instance/tile budgets until the
+        probe fits (replaces the reference's resize-callback buffers,
+        `rasterize_points.cu:28-34`)."""
+        cam = self.scene.train_cameras[0]
+        arrays = jax.tree.map(jnp.asarray, cam.arrays())
+        intr = jnp.asarray(camera_intrinsics(cam))
+        for _ in range(8):
+            *_, num_rendered, max_per_tile = self._render_eval(arrays, intr)
+            grew = self._maybe_grow(int(num_rendered), int(max_per_tile))
+            if not grew:
+                break
+
+    def _maybe_grow(self, num_rendered: int, max_per_tile: int) -> bool:
+        grew = False
+        if num_rendered > 0.85 * self.inst_capacity:
+            self.inst_capacity = _round_up(
+                num_rendered * self.cfg.instance_slack, 65536)
+            grew = True
+        if max_per_tile > 0.85 * self.tile_capacity:
+            self.tile_capacity = _round_up(max_per_tile * 1.5, 256)
+            grew = True
+        if grew:
+            self.log(f"instance budget -> {self.inst_capacity}, "
+                     f"tile budget -> {self.tile_capacity}")
+            self._step_fn = None
+            self._eval_fn = None
+        return grew
+
+    # ------------------------------------------------------------ events
+    def _densify_event(self, iteration: int):
+        opt = self.cfg.optimization
+        use_size = iteration > opt.opacity_reset_interval
+        self.key, sub = jax.random.split(self.key)
+        extent = jnp.float32(self.spatial_lr_scale)
+        for _ in range(4):
+            new_gauss, info = dz.densify_and_prune(
+                self.gauss, sub, extent, cfg=self.densify_cfg,
+                rot_4d=self.cfg.rot_4d, gaussian_dim=self.cfg.gaussian_dim,
+                use_size_threshold=use_size)
+            needed = int(info.n_needed)
+            capacity = self.gauss.params.xyz.shape[0]
+            if needed <= capacity:
+                break
+            self.gauss = dz.grow_capacity(
+                self.gauss, capacity_for(needed, self.cfg.capacity_slack))
+            self.log(f"cloud capacity -> {self.gauss.params.xyz.shape[0]}")
+            self._step_fn = None
+            self._eval_fn = None
+        self.gauss = new_gauss
+        return info
+
+    # ------------------------------------------------------------- train
+    def train(self, num_iterations: Optional[int] = None, on_step=None):
+        opt = self.cfg.optimization
+        total = num_iterations or opt.iterations
+        b = self.cfg.batch_size
+        test_iters = set(self.cfg.test_iterations)
+        if self.cfg.exhaust_test:
+            test_iters |= set(range(self.cfg.eval_interval, total + 1,
+                                    self.cfg.eval_interval))
+        save_iters = set(self.cfg.save_iterations)
+
+        t_start = time.perf_counter()
+        ema_loss = 0.0
+        it = self.step
+        while it < total:
+            for batch_idx in self._epoch_batches():
+                it += 1
+                if it > total:
+                    break
+                arrays, gt, alpha, intr = self._batch_arrays(batch_idx)
+                if self._step_fn is None:
+                    self._build_step()
+                self.gauss, self.env, metrics = self._step_fn(
+                    self.gauss, self.env, jnp.int32(it),
+                    jax.tree.map(jnp.asarray, arrays),
+                    jnp.asarray(gt), jnp.asarray(alpha), jnp.asarray(intr),
+                    self.bg)
+                self.step = it
+
+                # Densification (train.py:231-244).
+                in_window = (it < opt.densify_until_iter
+                             and (opt.densify_until_num_points < 0
+                                  or int(self.gauss.n_active)
+                                  < opt.densify_until_num_points))
+                if in_window and (it > opt.densify_from_iter
+                                  and it % opt.densification_interval == 0):
+                    self._densify_event(it)
+                if in_window and (
+                        it % opt.opacity_reset_interval == 0
+                        or (self.cfg.model.white_background
+                            and it == opt.densify_from_iter)):
+                    self.gauss = dz.reset_opacity(self.gauss)
+
+                self._maybe_grow(int(metrics.num_rendered),
+                                 int(metrics.max_per_tile))
+
+                loss = float(metrics.loss)
+                ema_loss = 0.4 * loss + 0.6 * ema_loss if it > 1 else loss
+                if it % 50 == 0 or it == 1:
+                    dt = time.perf_counter() - t_start
+                    self.log(
+                        f"it {it}/{total} loss {ema_loss:.4f} "
+                        f"psnr {float(metrics.psnr):.2f} "
+                        f"pts {int(metrics.n_active)} "
+                        f"({it / max(dt, 1e-9):.2f} it/s)")
+                if on_step is not None:
+                    on_step(it, metrics)
+
+                if it in test_iters and self.scene.test_cameras:
+                    psnr = self.evaluate()
+                    if psnr >= self.best_psnr:
+                        self.best_psnr = psnr
+                        if self.cfg.model.model_path:
+                            self.save(os.path.join(
+                                self.cfg.model.model_path, "chkpnt_best.pkl"))
+                if it in save_iters and self.cfg.model.model_path:
+                    self.save(os.path.join(
+                        self.cfg.model.model_path, f"chkpnt{it}.pkl"))
+        return self.gauss
+
+    # -------------------------------------------------------------- eval
+    def evaluate(self, max_cameras: Optional[int] = None) -> float:
+        """PSNR/SSIM over the test split (reference training_report,
+        `train.py:276-345`). Returns mean PSNR."""
+        cams = self.scene.test_cameras
+        if max_cameras:
+            cams = cams[:max_cameras]
+        psnrs, ssims = [], []
+        white = self.cfg.model.white_background
+        for cam in cams:
+            arrays = jax.tree.map(jnp.asarray, cam.arrays())
+            intr = jnp.asarray(camera_intrinsics(cam))
+            color, *_ = self._render_eval(arrays, intr)
+            gt, _ = fetch_gt(cam, white)
+            psnrs.append(float(loss_lib.psnr(color, jnp.asarray(gt))))
+            ssims.append(float(loss_lib.ssim(color, jnp.asarray(gt))))
+        mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+        self.log(f"eval: psnr {mean_psnr:.3f} ssim {float(np.mean(ssims)):.4f} "
+                 f"({len(cams)} cams)")
+        return mean_psnr
