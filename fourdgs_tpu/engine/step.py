@@ -92,7 +92,7 @@ def _velocity(act, opts: RenderOptions):
     return cov4[..., :3, 3] / cov_t[..., None] * 0.1
 
 
-def make_train_step(
+def build_step_fn(
     opts: RenderOptions,
     cfg: StepConfig,
     *,
@@ -101,7 +101,9 @@ def make_train_step(
     chunk: int = 32,
     batch_size: int = 1,
 ):
-    """Build the jitted train step for fixed static shapes."""
+    """Build the (unjitted) train step for fixed static shapes. Use
+    `make_train_step` for single-device jit or
+    `parallel.make_sharded_train_step` for a device mesh."""
     has_env = cfg.env_map_res > 0
 
     def loss_fn(params, env_tex, tap, gauss: GaussianState,
@@ -219,7 +221,16 @@ def make_train_step(
             rigid=aux["rigid"], motion=aux["motion"])
         return gauss, env, metrics
 
-    # NOTE: no buffer donation — several state leaves can legitimately alias
-    # the same zeros buffer right after init/densify, which XLA's donation
-    # checker rejects ("donate the same buffer twice").
-    return jax.jit(step_fn)
+    return step_fn
+
+
+def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
+                    max_per_tile: int, chunk: int = 32, batch_size: int = 1):
+    """Single-device jitted train step.
+
+    NOTE: no buffer donation — several state leaves can legitimately alias
+    the same zeros buffer right after init/densify, which XLA's donation
+    checker rejects ("donate the same buffer twice")."""
+    return jax.jit(build_step_fn(
+        opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
+        chunk=chunk, batch_size=batch_size))

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Training CLI, mirroring the reference entry point
+(`/root/reference/train.py:354-404`):
+
+    python train.py --config configs/dnerf/lego.yaml [overrides]
+
+Precedence: dataclass defaults < CLI flags < YAML (YAML applied last,
+same as the reference's OmegaConf merge at train.py:381-390; use
+--override KEY=VALUE for post-YAML tweaks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native 4D gaussian splatting")
+    p.add_argument("--config", type=str, default=None, help="YAML config")
+    p.add_argument("--source_path", "-s", type=str, default=None)
+    p.add_argument("--model_path", "-m", type=str, default=None)
+    p.add_argument("--resolution", "-r", type=int, default=None)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--test_iterations", nargs="+", type=int, default=None)
+    p.add_argument("--save_iterations", nargs="+", type=int, default=None)
+    p.add_argument("--start_checkpoint", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--eval", action="store_true", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--override", nargs="*", default=[],
+                   help="dotted KEY=VALUE post-YAML overrides, e.g. "
+                        "optimization.lambda_rigid=0.5")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from fourdgs_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    if args.source_path is not None:
+        cfg.model.source_path = args.source_path
+    if args.model_path is not None:
+        cfg.model.model_path = args.model_path
+    if args.resolution is not None:
+        cfg.model.resolution = args.resolution
+    if args.iterations is not None:
+        cfg.optimization.iterations = args.iterations
+    if args.batch_size is not None:
+        cfg.batch_size = args.batch_size
+    if args.test_iterations is not None:
+        cfg.test_iterations = args.test_iterations
+    if args.save_iterations is not None:
+        cfg.save_iterations = args.save_iterations
+    if args.start_checkpoint is not None:
+        cfg.start_checkpoint = args.start_checkpoint
+    if args.seed is not None:
+        cfg.seed = args.seed
+    if args.eval:
+        cfg.model.eval = True
+    for kv in args.override:
+        key, _, value = kv.partition("=")
+        obj = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            obj = getattr(obj, part)
+        cur = getattr(obj, parts[-1])
+        import yaml as _yaml
+        setattr(obj, parts[-1], type(cur)(_yaml.safe_load(value))
+                if cur is not None else _yaml.safe_load(value))
+    return cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    if not cfg.model.source_path:
+        print("error: --config or --source_path required", file=sys.stderr)
+        return 2
+
+    from fourdgs_tpu.engine.trainer import Trainer
+
+    trainer = Trainer(cfg, verbose=not args.quiet)
+    trainer.train()
+    if trainer.scene.test_cameras:
+        trainer.evaluate()
+    if cfg.model.model_path:
+        import os
+        trainer.save(os.path.join(cfg.model.model_path, "chkpnt_final.pkl"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
