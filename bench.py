@@ -54,6 +54,9 @@ def build_inputs(p=100_000, h=800, w=800, seed=0):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
     from fourdgs_tpu.ops.preprocess import RenderOptions
@@ -65,15 +68,17 @@ def main():
                          time_duration=1.0)
     scene, cam, tgt = build_inputs(h=h, w=w)
     bg = jnp.zeros(3, jnp.float32)
-    capacity = 2 ** 22           # 4M tile instances
+    capacity = 3 * 2 ** 19       # 1.5M tile instances
     max_per_tile = 4096
+    backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
     diff_keys = ("means3d", "t", "scales", "scales_t", "rotations",
                  "rotations_r", "opacity", "sh")
 
     def loss_fn(diff, aux):
         out = render(**diff, **aux, camera=cam, bg=bg, opts=opts,
-                     capacity=capacity, max_per_tile=max_per_tile, chunk=32)
+                     capacity=capacity, max_per_tile=max_per_tile, chunk=32,
+                     backend=backend)
         loss, _, _ = photometric_loss(out.color, tgt)
         return loss, (out.num_rendered, out.max_per_tile)
 

@@ -58,9 +58,12 @@ class DensifyInfo(NamedTuple):
 
 def _scatter_rows(dst: GaussianParams, src: GaussianParams,
                   idx: jax.Array, mask: jax.Array) -> GaussianParams:
-    """dst[idx[i]] = src[i] where mask[i]; out-of-range/unmasked dropped."""
+    """dst[idx[i]] = src[i] where mask[i]; out-of-range/unmasked dropped.
+    Unmasked rows get DISTINCT out-of-bounds indices so unique_indices
+    stays truthful."""
     capacity = dst.xyz.shape[0]
-    safe = jnp.where(mask, idx, capacity)
+    rows = jnp.arange(idx.shape[0], dtype=jnp.int32)
+    safe = jnp.where(mask, idx, capacity + rows)
     return GaussianParams(*[
         d.at[safe].set(s, mode="drop", unique_indices=True)
         for d, s in zip(dst, src)])
@@ -218,7 +221,8 @@ def prune_only(state: GaussianState, extent, *, cfg: DensifyConfig,
     nu = _scatter_rows(blank, state.adam.nu, dst, keep)
 
     def compact1(a):
-        safe = jnp.where(keep, dst, capacity)
+        rows = jnp.arange(capacity, dtype=jnp.int32)
+        safe = jnp.where(keep, dst, capacity + rows)
         return jnp.zeros_like(a).at[safe].set(a, mode="drop",
                                               unique_indices=True)
 

@@ -30,11 +30,30 @@ from .preprocess import ProcessedGaussians, RenderOptions
 class TileBins(NamedTuple):
     gauss_id: jax.Array        # (R,) int32, instance → gaussian, sorted by (tile, depth)
     expansion_slot: jax.Array  # (R,) int32, instance → pre-sort slot (for grad reduce)
+    tile_sorted: jax.Array     # (R,) int32 sorted tile id (num_tiles = invalid)
     tile_start: jax.Array      # (num_tiles,) int32
     tile_stop: jax.Array       # (num_tiles,) int32
     offsets: jax.Array         # (P,) int32 inclusive cumsum of tiles_touched
     num_rendered: jax.Array    # () int32 — true instance count (may exceed capacity)
     max_per_tile: jax.Array    # () int32 — densest tile population (for host schedule)
+
+
+class AlignedBins(NamedTuple):
+    """Chunk-aligned instance layout for the Pallas tile kernels: every
+    tile's instance range starts at a multiple of the chunk size K, so
+    per-chunk DMA reads/writes never straddle a tile boundary. Padding
+    slots point at gaussian `p` (invalid). Built WITHOUT large scatters
+    (XLA scatter on TPU is ~20x slower than gather): tile membership of
+    aligned positions comes from a boundary-mark cumsum, and the inverse
+    permutation (expansion slot -> aligned position, for the gradient
+    reduce) from a second sort."""
+    gauss_id: jax.Array        # (Rp,) int32 (p = invalid padding)
+    aligned_pos: jax.Array     # (R,) int32: expansion slot -> aligned pos
+    tile_start: jax.Array      # (num_tiles,) int32 — K-aligned offsets
+    tile_count: jax.Array      # (num_tiles,) int32 — true instance counts
+    offsets: jax.Array         # (P,) int32 (from TileBins, for grad reduce)
+    num_rendered: jax.Array    # () int32
+    max_per_tile: jax.Array    # () int32
 
 
 def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
@@ -52,16 +71,33 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
     offsets = jnp.cumsum(proc.tiles_touched, dtype=jnp.int32)  # inclusive
     num_rendered = offsets[-1]
 
+    # Instance -> owning gaussian WITHOUT a binary search (a 2M-query
+    # searchsorted costs ~17 gather rounds; this is one scatter-add of P
+    # marks + one cumsum): mark every gaussian's first instance slot, then
+    # owner(slot) = #begins <= slot - 1. Zero-count gaussians mark the
+    # same slot as their successor, which the cumsum counts correctly.
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    owner = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
-    owner_c = jnp.minimum(owner, p - 1)
+    begin = offsets - proc.tiles_touched           # (P,) exclusive starts
+    marks = jnp.zeros((capacity,), jnp.int32).at[begin].add(1, mode="drop")
+    owner = jnp.cumsum(marks) - 1
+    owner_c = jnp.clip(owner, 0, p - 1)
     base = jnp.where(owner_c > 0, offsets[jnp.maximum(owner_c - 1, 0)], 0)
     local = slots - base
 
-    rect = proc.rect[owner_c]                      # (R, 4)
-    width = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
-    tile = ((rect[:, 1] + local // width) * tiles_x
-            + rect[:, 0] + local % width)
+    # Columnar gathers (one (R,) gather per field beats an (R, 4) row
+    # gather on TPU).
+    x0 = proc.rect[:, 0][owner_c]
+    y0 = proc.rect[:, 1][owner_c]
+    width = jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0], 1)[owner_c]
+    # local // width via f32 reciprocal + exact correction (the VPU has no
+    # native integer divide; values are < 2^23 so f32 math is near-exact
+    # and one fix-up step makes it exact).
+    row = (local.astype(jnp.float32)
+           * (1.0 / width.astype(jnp.float32))).astype(jnp.int32)
+    row = jnp.where((row + 1) * width <= local, row + 1, row)
+    row = jnp.where(row * width > local, row - 1, row)
+    col = local - row * width
+    tile = (y0 + row) * tiles_x + x0 + col
 
     valid = slots < num_rendered
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
@@ -78,12 +114,83 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
     return TileBins(
         gauss_id=gid_s,
         expansion_slot=slot_s,
+        tile_sorted=tile_s,
         tile_start=tile_start,
         tile_stop=tile_stop,
         offsets=offsets,
         num_rendered=num_rendered,
         max_per_tile=jnp.max(tile_stop - tile_start),
     )
+
+
+def aligned_capacity(capacity: int, num_tiles: int, k: int) -> int:
+    """Static padded-instance capacity for chunk-aligned layout."""
+    return capacity + num_tiles * k
+
+
+def align_bins(bins: TileBins, num_tiles: int, k: int,
+               num_gaussians: int) -> AlignedBins:
+    """Re-lay the sorted instance list so every tile's range is K-aligned.
+    Gather-only construction (no large scatters — XLA scatter on TPU is
+    ~20x slower than gather)."""
+    r = bins.gauss_id.shape[0]
+    rp = aligned_capacity(r, num_tiles, k)
+    counts = bins.tile_stop - bins.tile_start
+    padded = (counts + (k - 1)) // k * k
+    aligned_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)[:-1]])
+
+    # Aligned position -> tile: boundary marks + cumsum (a tiny scatter of
+    # num_tiles elements; duplicate boundaries from empty tiles fold in).
+    marks = jnp.zeros((rp,), jnp.int32).at[aligned_off].add(1, mode="drop")
+    tile_of_q = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles - 1)
+    q = jnp.arange(rp, dtype=jnp.int32)
+    pos_in_tile = q - aligned_off[tile_of_q]
+    src = bins.tile_start[tile_of_q] + pos_in_tile           # sorted pos
+    live = pos_in_tile < counts[tile_of_q]
+    gid = jnp.where(live, bins.gauss_id[jnp.minimum(src, r - 1)],
+                    num_gaussians)
+
+    # Expansion slot -> aligned position: invert the sort with a SECOND
+    # sort (sorts are fast, permutation scatters are not), then shift from
+    # compact-sorted to aligned positions.
+    rows = jnp.arange(r, dtype=jnp.int32)
+    t_c = jnp.minimum(bins.tile_sorted, num_tiles - 1)
+    dest = aligned_off[t_c] + rows - bins.tile_start[t_c]
+    dest = jnp.where(bins.tile_sorted < num_tiles, dest, rp)
+    _, aligned_pos = jax.lax.sort((bins.expansion_slot, dest), num_keys=1)
+
+    return AlignedBins(
+        gauss_id=gid,
+        aligned_pos=aligned_pos,
+        tile_start=aligned_off,
+        tile_count=counts,
+        offsets=bins.offsets,
+        num_rendered=bins.num_rendered,
+        max_per_tile=bins.max_per_tile,
+    )
+
+
+def aligned_entry_grads_to_gaussian_grads(
+    entry_grads: jax.Array,      # (Rp, C) per aligned-instance gradients
+    abins: AlignedBins,
+    capacity: int,               # R of the pre-alignment instance list
+) -> jax.Array:
+    """Aligned-layout variant of `entry_grads_to_gaussian_grads`: map to
+    expansion order with a GATHER through the precomputed inverse
+    permutation, then cumsum segment sums."""
+    c = entry_grads.shape[1]
+    rp = entry_grads.shape[0]
+    pos = abins.aligned_pos                       # (R,)
+    unsorted = jnp.where((pos < rp)[:, None],
+                         entry_grads[jnp.minimum(pos, rp - 1)], 0.0)
+    csum = jnp.cumsum(unsorted, axis=0)
+    hi = jnp.minimum(abins.offsets, capacity) - 1
+    lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      abins.offsets[:-1]]), capacity) - 1
+    zero_row = jnp.zeros((1, c), entry_grads.dtype)
+    csum_z = jnp.concatenate([zero_row, csum], axis=0)
+    return csum_z[hi + 1] - csum_z[lo + 1]
 
 
 def entry_grads_to_gaussian_grads(

@@ -1,0 +1,492 @@
+"""Pallas TPU tile-blend kernels (forward + backward).
+
+The production replacement for the pure-XLA `blend.py` path. Redesign of
+the reference hot kernels (`cuda_rasterizer/forward.cu:501-626` renderCUDA
+and `backward.cu:926-1137`) around the TPU execution model:
+
+  * grid = one program per 16x16 tile; the 256 pixels are the SUBLANE
+    axis, the K=128 gaussians of a chunk are the LANE axis — every array
+    in the kernel is a (256, 128) vector tile, the natural f32 shape.
+  * each tile walks ONLY its own 128-aligned instance range (dynamic
+    `while_loop` trip count + all-pixels-saturated early exit) — unlike
+    the XLA path, no tile pays for the densest tile's population.
+  * instance data lives FIELD-MAJOR in HBM, (16, Rp): per-chunk manual
+    DMA of a (16, 128) block is lane-aligned; fields come out as (1, K)
+    rows that broadcast directly against (256, 1) pixel columns.
+  * the front-to-back transmittance recursion is computed in log space
+    with triangular ones-matrix matmuls along the lane axis
+    ((256,128) @ (128,128) MXU cumsums).
+  * the backward pass writes per-instance gradient rows to its tile's own
+    128-aligned slice of the (16, Rp) gradient buffer — disjoint across
+    programs, so TPU needs no atomics (the CUDA kernel's atomicAdd
+    scatter, `backward.cu:1076-1134`, becomes a later segment-sum).
+
+Field-major row layout (16 rows, zero-padded):
+  [0:2] xy, [2:5] conic (a, b, c), [5] opacity, [6:12] feat
+  (rgb, depth, flow). Gradient rows mirror it:
+  [0] dx, [1] dy, [2:5] dconic, [5] dopa, [6:12] dfeat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import gaussmath as gm
+from .preprocess import TILE
+
+PIX = TILE * TILE      # 256
+FEAT = 6               # rgb + depth + flow2
+ROW = 16               # field rows (padded)
+CHUNK = 128            # K — lane width; also the tile range alignment
+OUT_COLS = 16          # accum(6) + T_final + n_contrib (+ padding)
+
+
+class PallasBlendConfig(NamedTuple):
+    height: int
+    width: int
+    tiles_x: int
+    tiles_y: int
+    interpret: bool = False  # Pallas interpreter mode (CPU tests)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+
+def _pixel_coords(cfg: PallasBlendConfig, t):
+    """(256, 1) pixel-center x/y for tile index t (row-major in-tile)."""
+    tx = (t % cfg.tiles_x).astype(jnp.float32)
+    ty = (t // cfg.tiles_x).astype(jnp.float32)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = tx * TILE + (pp % TILE).astype(jnp.float32)
+    py = ty * TILE + (pp // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _tri_cum_incl():
+    """(K, K) with [i, j] = 1 iff i <= j: x @ T = inclusive prefix sum
+    along the lane axis."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _tri_suf_incl():
+    """(K, K) with [i, j] = 1 iff i >= j: x @ T = inclusive suffix sum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r >= c).astype(jnp.float32)
+
+
+def _tri_suf_excl():
+    """(K, K) with [i, j] = 1 iff i > j: x @ T = exclusive suffix sum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r > c).astype(jnp.float32)
+
+
+def _alpha_terms(inst, px, py):
+    """Shared per-chunk alpha math. inst: (16, K) field-major block.
+
+    Returns (power, g, alpha_raw, alpha, dx, dy, field rows)."""
+    xy_x = inst[0:1, :]        # (1, K)
+    xy_y = inst[1:2, :]
+    ca = inst[2:3, :]
+    cb = inst[3:4, :]
+    cc = inst[4:5, :]
+    opa = inst[5:6, :]
+    dx = xy_x - px             # (256, K)
+    dy = xy_y - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(power)
+    alpha_raw = opa * g
+    alpha = jnp.minimum(alpha_raw, gm.ALPHA_CLAMP)
+    return power, g, alpha_raw, alpha, dx, dy, (ca, cb, cc, opa)
+
+
+def _mm(a, b):
+    """f32-exact matmul: the triangular cumsums run in log space where
+    bf16 MXU passes (the TPU default) would cost ~1e-3 relative error in
+    the transmittance chain."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm_fast(a, b):
+    """Default-precision matmul for threshold-only chains (fail/dead)
+    where bf16 error can only flip borderline 1e-4 comparisons."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dgc(a, b, contract_a: int, contract_b: int):
+    """dot_general with arbitrary contraction axes (lets the MXU fold the
+    operand transpose instead of a VPU relayout)."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _forward_kernel(cfg: PallasBlendConfig):
+    def kernel(start_ref, count_ref, inst_hbm, out_ref, scratch, acc_ref,
+               state_ref, sems):
+        t = pl.program_id(0)
+        start = start_ref[t]
+        count = count_ref[t]
+        nchunks = pl.cdiv(count, CHUNK)
+        px, py = _pixel_coords(cfg, t)
+        tri_cum = _tri_cum_incl()
+
+        # Per-pixel running state lives in VMEM scratch, not loop carries
+        # (Mosaic's layout unifier rejects multi-vector while carries).
+        # state cols: [0] = T, [1] = done flag, [2] = n_contrib.
+        acc_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
+        init = jnp.zeros((PIX, 8), jnp.float32)
+        state_ref[:] = init + jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1) == 0, 1.0, 0.0)
+
+        def dma(slot, c):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_hbm.at[:, pl.ds(off, CHUNK)],
+                scratch.at[slot], sems.at[slot])
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(c, carry):
+            @pl.when(c + 1 < nchunks)
+            def _():
+                dma((c + 1) % 2, c + 1).start()
+
+            dma(c % 2, c).wait()
+            inst = scratch[c % 2]                      # (16, K)
+            t_tr = state_ref[:, 0:1]
+            done = state_ref[:, 1:2] > 0.0
+            ncon = state_ref[:, 2:3]
+
+            power, _, _, alpha, _, _, _ = _alpha_terms(inst, px, py)
+            local = (c * CHUNK
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
+            in_range = local < count                   # (1, K)
+            valid = (in_range & (power <= 0.0)
+                     & (alpha >= gm.ALPHA_MIN) & ~done)
+
+            a_v = jnp.where(valid, alpha, 0.0)
+            lcv = jnp.log1p(-a_v)
+            q = t_tr * jnp.exp(_mm(lcv, tri_cum))
+            fail = valid & (q < gm.T_EPS)
+            dead = _mm_fast(fail.astype(jnp.float32), tri_cum) > 0.0
+            used = valid & ~dead
+
+            a_u = jnp.where(dead, 0.0, a_v)
+            lcu = jnp.where(dead, 0.0, lcv)
+            s_incl = _mm(lcu, tri_cum)
+            prod_excl = jnp.exp(s_incl - lcu)
+            w = a_u * t_tr * prod_excl                 # (256, K)
+
+            # contrib[p, f] = sum_k w[p, k] * feat[f, k]: one MXU
+            # contraction over the lane axis (rows 6..13 incl. padding).
+            acc_ref[:] = acc_ref[:] + _dgc(w, inst[6:14, :], 1, 1)
+
+            # Full-chunk log-product == inclusive product's last column.
+            t_out = t_tr * jnp.exp(jnp.sum(lcu, axis=1, keepdims=True))
+            done_out = (done | jnp.any(fail, axis=1, keepdims=True))
+            rankf = (local + 1).astype(jnp.float32)
+            ncon_out = jnp.maximum(
+                ncon, jnp.max(jnp.where(used, rankf, 0.0), axis=1,
+                              keepdims=True))
+            state_ref[:] = jnp.concatenate(
+                [t_out, done_out.astype(jnp.float32), ncon_out,
+                 jnp.zeros((PIX, 5), jnp.float32)], axis=1)
+            return carry
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+
+        out_ref[0] = jnp.concatenate([
+            acc_ref[:, 0:FEAT], state_ref[:, 0:1], state_ref[:, 2:3],
+            jnp.zeros((PIX, OUT_COLS - FEAT - 2), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
+                         tile_start: jax.Array, tile_count: jax.Array):
+    """inst_data: (16, Rp) field-major aligned layout. Returns
+    (accum (T, 256, 6), t_final (T, 256), ncontrib (T, 256) i32)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _forward_kernel(cfg),
+        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, PIX, OUT_COLS),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+    )(tile_start, tile_count, inst_data)
+    accum = out[:, :, 0:FEAT]
+    t_final = out[:, :, FEAT]
+    ncon = out[:, :, FEAT + 1].astype(jnp.int32)
+    return accum, t_final, ncon
+
+
+def _backward_kernel(cfg: PallasBlendConfig):
+    def kernel(start_ref, count_ref, inst_hbm, cot_ref, grad_hbm,
+               scratch, gscratch, state_ref, sems, gsems):
+        t = pl.program_id(0)
+        start = start_ref[t]
+        count = count_ref[t]
+        nchunks = pl.cdiv(count, CHUNK)
+        px, py = _pixel_coords(cfg, t)
+        tri_suf = _tri_suf_incl()
+        tri_suf_x = _tri_suf_excl()
+
+        # cot block (1, 256, 16): cols = dc(6) + tf_term + t_final + ncon.
+        dc_cols = cot_ref[0, :, 0:FEAT]                       # (256, 6)
+        tf_term = cot_ref[0, :, FEAT: FEAT + 1]
+        t_final = cot_ref[0, :, FEAT + 1: FEAT + 2]
+        ncon = cot_ref[0, :, FEAT + 2: FEAT + 3]              # float ranks
+
+        def dma_in(slot, c):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_hbm.at[:, pl.ds(off, CHUNK)],
+                scratch.at[slot], sems.at[slot])
+
+        def dma_out(slot, c):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                gscratch.at[slot],
+                grad_hbm.at[:, pl.ds(off, CHUNK)],
+                gsems.at[slot])
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma_in(0, nchunks - 1).start()
+
+        # state cols: [0] = running T (from the back), [1] = sigma.
+        state_ref[:] = jnp.concatenate(
+            [t_final, jnp.zeros((PIX, 7), jnp.float32)], axis=1)
+
+        def body(i, carry):
+            t_run = state_ref[:, 0:1]
+            sigma = state_ref[:, 1:2]
+            c = nchunks - 1 - i
+            slot = i % 2
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                dma_in((i + 1) % 2, c - 1).start()
+
+            dma_in(slot, c).wait()
+            inst = scratch[slot]
+            power, g, alpha_raw, alpha, dx, dy, (ca, cb, cc, opa) = \
+                _alpha_terms(inst, px, py)
+            local = (c * CHUNK
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
+            in_range = local < count
+            valid = in_range & (power <= 0.0) & (alpha >= gm.ALPHA_MIN)
+            rank = local.astype(jnp.float32)           # (1, K)
+            used = valid & (rank < ncon)               # (256, K)
+
+            a_u = jnp.where(used, alpha, 0.0)
+            cu = 1.0 - a_u
+            lcu = jnp.log1p(-a_u)
+            # rp[j] = prod_{k >= j} cu[k] (inclusive suffix product).
+            s_suf = _mm(lcu, tri_suf)
+            t_before = t_run * jnp.exp(-s_suf)         # (256, K)
+            w = a_u * t_before
+
+            # gdot[p, k] = sum_f feat[f, k] * dc_f[p]: one MXU matmul.
+            gdot = _mm(dc_cols, inst[6:12, :])
+            phi = w * gdot
+            suffix_excl = _mm(phi, tri_suf_x) + sigma
+            d_alpha = jnp.where(
+                used, t_before * gdot - (suffix_excl + tf_term) / cu, 0.0)
+
+            d_power = alpha_raw * d_alpha
+            # d_feat[f, k] = sum_p dc_f[p] w[p, k]: MXU contraction over
+            # the pixel (sublane) axis; other per-gaussian reductions stay
+            # cheap sublane reduces.
+            d_feat6 = _dgc(dc_cols, w, 0, 0)           # (6, K)
+            d_opa = jnp.sum(g * d_alpha, axis=0, keepdims=True)
+            d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)
+            d_cb = jnp.sum(-dx * dy * d_power, axis=0, keepdims=True)
+            d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
+            d_x = jnp.sum(-(ca * dx + cb * dy) * d_power, axis=0,
+                          keepdims=True)
+            d_y = jnp.sum(-(cb * dx + cc * dy) * d_power, axis=0,
+                          keepdims=True)
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, nchunks - 1 - (i - 2)).wait()
+
+            zeros = jnp.zeros((ROW - 12, CHUNK), jnp.float32)
+            gscratch[slot] = jnp.concatenate(
+                [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_feat6, zeros],
+                axis=0)
+            dma_out(slot, c).start()
+
+            t_out = t_run * jnp.exp(-jnp.sum(lcu, axis=1, keepdims=True))
+            sigma_out = sigma + jnp.sum(phi, axis=1, keepdims=True)
+            state_ref[:] = jnp.concatenate(
+                [t_out, sigma_out, jnp.zeros((PIX, 6), jnp.float32)], axis=1)
+            return carry
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+
+        @pl.when(nchunks >= 2)
+        def _():
+            dma_out(nchunks % 2, 1).wait()
+
+        @pl.when(nchunks >= 1)
+        def _():
+            dma_out((nchunks - 1) % 2, 0).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
+                          tile_start: jax.Array, tile_count: jax.Array,
+                          cotangents: jax.Array):
+    """cotangents: (T, 256, 16) = [dc(6), tf_term, t_final, ncon, pad...].
+    Returns per-instance gradient rows, field-major (16, Rp)."""
+    rp = inst_data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _backward_kernel(cfg),
+        out_shape=jax.ShapeDtypeStruct((ROW, rp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, inst_data, cotangents)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (mirrors blend.blend's contract).
+# ---------------------------------------------------------------------------
+
+def _build_inst_data(xy, conic, opacity, feat, abins):
+    """Gather per-gaussian data into the field-major aligned layout
+    (16, Rp). Padding instances (gauss_id == P) get opacity 0, which
+    neutralizes them in both kernels."""
+    p = xy.shape[0]
+    ids = jnp.minimum(abins.gauss_id, p - 1)
+    valid = abins.gauss_id < p
+    opa = jnp.where(valid, opacity[ids], 0.0)
+    rp = ids.shape[0]
+    rows = jnp.concatenate([
+        xy[ids], conic[ids], opa[:, None], feat[ids],
+        jnp.zeros((rp, ROW - 12), xy.dtype)], axis=1)
+    return rows.T                                    # (16, Rp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def blend_pallas(cfg: PallasBlendConfig, xy, conic, opacity, feat, bg, abins):
+    """Pallas-kernel blend with the same outputs as `blend.blend`:
+    (color (H,W,3), depth (H,W), flow (H,W,2), alpha (H,W))."""
+    out, _, _ = _blend_pallas_forward(cfg, xy, conic, opacity, feat, bg, abins)
+    return out
+
+
+def _blend_pallas_forward(cfg, xy, conic, opacity, feat, bg, abins):
+    from .blend import BlendConfig, _tiles_to_image
+
+    inst = _build_inst_data(xy, conic, opacity, feat, abins)
+    accum, t_final, ncon = blend_forward_pallas(
+        cfg, inst, abins.tile_start, abins.tile_count)
+    bc = BlendConfig(height=cfg.height, width=cfg.width,
+                     tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
+    color = _tiles_to_image(
+        accum[..., 0:3] + t_final[..., None] * bg[None, None, :], bc)
+    depth = _tiles_to_image(accum[..., 3], bc)
+    flow = _tiles_to_image(accum[..., 4:6], bc)
+    alpha = _tiles_to_image(1.0 - t_final, bc)
+    return (color, depth, flow, alpha), t_final, ncon
+
+
+def _blend_pallas_fwd(cfg, xy, conic, opacity, feat, bg, abins):
+    out, t_final, ncon = _blend_pallas_forward(
+        cfg, xy, conic, opacity, feat, bg, abins)
+    return out, (xy, conic, opacity, feat, bg, abins, t_final, ncon)
+
+
+def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
+    from .binning import aligned_entry_grads_to_gaussian_grads
+    from .blend import BlendConfig, _image_to_tiles
+
+    xy, conic, opacity, feat, bg, abins, t_final, ncon = res
+    d_color, d_depth, d_flow, d_alpha = cots
+    bc = BlendConfig(height=cfg.height, width=cfg.width,
+                     tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
+
+    dc = jnp.concatenate([
+        _image_to_tiles(d_color, bc),
+        _image_to_tiles(d_depth, bc)[..., None],
+        _image_to_tiles(d_flow, bc),
+    ], axis=-1)                                   # (T, 256, 6)
+    dt_total = (jnp.einsum("tpc,c->tp", dc[..., 0:3], bg)
+                - _image_to_tiles(d_alpha, bc))
+    tf_term = dt_total * t_final
+    d_bg = jnp.einsum("tp,tpc->c", t_final, dc[..., 0:3])
+
+    cot = jnp.concatenate([
+        dc,
+        tf_term[..., None],
+        t_final[..., None],
+        ncon.astype(jnp.float32)[..., None],
+        jnp.zeros(dc.shape[:2] + (OUT_COLS - FEAT - 3,), jnp.float32),
+    ], axis=-1)                                   # (T, 256, 16)
+
+    inst = _build_inst_data(xy, conic, opacity, feat, abins)
+    entry_grads = blend_backward_pallas(
+        cfg, inst, abins.tile_start, abins.tile_count, cot)
+    per_gauss = aligned_entry_grads_to_gaussian_grads(
+        entry_grads.T[:, :12], abins,
+        capacity=abins.aligned_pos.shape[0])
+    d_xy = per_gauss[:, 0:2]
+    d_conic = per_gauss[:, 2:5]
+    d_opa = per_gauss[:, 5]
+    d_feat = per_gauss[:, 6:12]
+    d_abins = jax.tree.map(
+        lambda x: jnp.zeros(x.shape, dtype=jax.dtypes.float0), abins)
+    return d_xy, d_conic, d_opa, d_feat, d_bg, d_abins
+
+
+blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .ops import blend as blend_lib
 from .ops import binning
+from .ops import pallas_blend
 from .ops import preprocess as pre
 from .ops.preprocess import CameraArrays, RenderOptions
 
@@ -51,8 +52,14 @@ def render(
     mean2d_tap: jax.Array | None = None,
     colors_precomp: jax.Array | None = None,
     cov3d_precomp: jax.Array | None = None,
+    backend: str = "xla",
 ) -> RenderOutputs:
-    """Render one camera. All inputs post-activation; see `preprocess`."""
+    """Render one camera. All inputs post-activation; see `preprocess`.
+
+    backend: "xla" (masked-matmul blend, any platform) or "pallas"
+    (TPU tile kernels with per-tile dynamic trip counts) or
+    "pallas_interpret" (Pallas interpreter, for CPU tests).
+    """
     proc = pre.preprocess(
         means3d=means3d, t=t, scales=scales, scales_t=scales_t,
         rotations=rotations, rotations_r=rotations_r, opacity=opacity,
@@ -65,10 +72,20 @@ def render(
 
     feat = jnp.concatenate(
         [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
-    cfg = blend_lib.make_blend_config(opts, chunk=chunk,
-                                      max_per_tile=max_per_tile)
-    color, depth_img, flow_img, alpha_img = blend_lib.blend(
-        cfg, proc.xy, proc.conic, proc.opacity, feat, bg, bins)
+    if backend in ("pallas", "pallas_interpret"):
+        abins = binning.align_bins(bins, opts.num_tiles,
+                                   pallas_blend.CHUNK, means3d.shape[0])
+        pcfg = pallas_blend.PallasBlendConfig(
+            height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
+            tiles_y=opts.tiles_y,
+            interpret=(backend == "pallas_interpret"))
+        color, depth_img, flow_img, alpha_img = pallas_blend.blend_pallas(
+            pcfg, proc.xy, proc.conic, proc.opacity, feat, bg, abins)
+    else:
+        cfg = blend_lib.make_blend_config(opts, chunk=chunk,
+                                          max_per_tile=max_per_tile)
+        color, depth_img, flow_img, alpha_img = blend_lib.blend(
+            cfg, proc.xy, proc.conic, proc.opacity, feat, bg, bins)
 
     return RenderOutputs(
         color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
