@@ -100,6 +100,7 @@ def build_step_fn(
     max_per_tile: int,
     chunk: int = 32,
     batch_size: int = 1,
+    backend: str = "xla",
 ):
     """Build the (unjitted) train step for fixed static shapes. Use
     `make_train_step` for single-device jit or
@@ -118,7 +119,8 @@ def build_step_fn(
                 rotations_r=act.rotations_r, opacity=act.opacity,
                 sh=act.sh, active=act.active, camera=cam, bg=bg,
                 opts=opts, capacity=capacity, max_per_tile=max_per_tile,
-                chunk=chunk, sh_mask=sh_mask, mean2d_tap=tap_b)
+                chunk=chunk, sh_mask=sh_mask, mean2d_tap=tap_b,
+                backend=backend)
             color = out.color
             if has_env:
                 color = envmap_lib.composite_sky(
@@ -225,7 +227,8 @@ def build_step_fn(
 
 
 def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
-                    max_per_tile: int, chunk: int = 32, batch_size: int = 1):
+                    max_per_tile: int, chunk: int = 32, batch_size: int = 1,
+                    backend: str = "xla"):
     """Single-device jitted train step.
 
     NOTE: no buffer donation — several state leaves can legitimately alias
@@ -233,4 +236,4 @@ def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
     checker rejects ("donate the same buffer twice")."""
     return jax.jit(build_step_fn(
         opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
-        chunk=chunk, batch_size=batch_size))
+        chunk=chunk, batch_size=batch_size, backend=backend))

@@ -157,6 +157,7 @@ class Trainer:
             4 * len(pcd.points) * cfg.instance_slack, 65536)
         self.tile_capacity = 2048
         self.chunk = 32
+        self.backend = "pallas" if jax.default_backend() != "cpu" else "xla"
         self._step_fn = None
         self._eval_fn = None
         self._io_pool = ThreadPoolExecutor(max_workers=8)
@@ -206,7 +207,8 @@ class Trainer:
             capacity=self.inst_capacity,
             max_per_tile=self.tile_capacity,
             chunk=self.chunk,
-            batch_size=self.cfg.batch_size)
+            batch_size=self.cfg.batch_size,
+            backend=self.backend)
 
     def _render_eval(self, cam_arrays: CameraArrays, intr):
         if self._eval_fn is None:
@@ -222,7 +224,8 @@ class Trainer:
                     scales_t=act.scales_t, rotations=act.rotations,
                     rotations_r=act.rotations_r, opacity=act.opacity,
                     sh=act.sh, active=act.active, camera=cam, bg=self.bg,
-                    opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk)
+                    opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
+                    backend=self.backend)
                 color = out.color
                 if has_env:
                     color = envmap_lib.composite_sky(

@@ -59,6 +59,7 @@ def make_sharded_train_step(
     max_per_tile: int,
     chunk: int = 32,
     batch_size: int = 1,
+    backend: str = "xla",
 ):
     """Jit the train step over `mesh` with the camera batch sharded on the
     data axis and all cloud state replicated. Requires batch_size to be a
@@ -70,7 +71,7 @@ def make_sharded_train_step(
 
     step_fn = build_step_fn(
         opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
-        chunk=chunk, batch_size=batch_size)
+        chunk=chunk, batch_size=batch_size, backend=backend)
 
     rep = replicate(mesh)
     bat = shard_batch(mesh)
