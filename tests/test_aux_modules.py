@@ -1,0 +1,109 @@
+"""PLY gaussian round-trip, pointops, and N3V pose preprocessing."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.data import n3v
+from fourdgs_tpu.models.gaussians import init_from_pcd
+from fourdgs_tpu.models.ply_io import (export_gaussians_ply,
+                                       import_gaussians_ply)
+from fourdgs_tpu.ops import pointops
+
+
+def test_gaussian_ply_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    cols = rng.random((20, 3)).astype(np.float32)
+    st = init_from_pcd(pts, cols, sh_channels=48, capacity=32)
+    # Perturb fields so the roundtrip is non-trivial.
+    st = st._replace(params=st.params._replace(
+        f_rest=jnp.asarray(rng.normal(size=(32, 47, 3)), jnp.float32),
+        rotation_r=jnp.asarray(rng.normal(size=(32, 4)), jnp.float32)))
+    path = str(tmp_path / "cloud.ply")
+    export_gaussians_ply(path, st, gaussian_dim=4, rot_4d=True)
+    st2 = import_gaussians_ply(path, capacity=32)
+    assert int(st2.n_active) == 20
+    for field in ("xyz", "t", "scaling", "scaling_t", "rotation",
+                  "rotation_r", "f_dc", "f_rest", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st2.params, field))[:20],
+            np.asarray(getattr(st.params, field))[:20], atol=1e-6,
+            err_msg=field)
+
+
+def test_fps():
+    pts = jnp.asarray([[0, 0, 0], [10, 0, 0], [0, 10, 0], [0.1, 0, 0],
+                       [5, 5, 0]], jnp.float32)
+    idx = pointops.fps(pts, 3)
+    assert int(idx[0]) == 0
+    # farthest from 0 is one of the distant points
+    assert int(idx[1]) in (1, 2)
+    assert len(set(int(i) for i in idx)) == 3
+
+
+def test_pointops_knn_and_interpolation(rng):
+    src = jnp.asarray(rng.normal(size=(1, 50, 3)), jnp.float32)
+    idx, dist = pointops.knn(src, src, k=4)
+    assert idx.shape == (1, 50, 4)
+    # nearest neighbor of each point is itself at distance 0
+    np.testing.assert_allclose(np.asarray(dist[0, :, 0]), 0.0, atol=1e-5)
+
+    feats = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    out = pointops.interpolation(src[0], src[0], feats, k=3)
+    # interpolating at source locations reproduces features (self weight
+    # dominates via the 1/eps weighting)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-2)
+
+    grouped = pointops.grouping(feats, idx[0])
+    assert grouped.shape == (50, 4, 8)
+
+
+def test_n3v_pose_conversion(tmp_path, rng):
+    # Build a synthetic LLFF poses_bounds for 3 cameras on a ring facing
+    # the origin.
+    n = 3
+    poses = np.zeros((n, 3, 5))
+    for i in range(n):
+        theta = 2 * np.pi * i / n
+        pos = np.array([3 * np.sin(theta), 0.2, 3 * np.cos(theta)])
+        back = pos / np.linalg.norm(pos)         # -z_cam (LLFF back)
+        right = np.cross(np.array([0, 1, 0]), -back)
+        right /= np.linalg.norm(right)
+        down = np.cross(-back, right)
+        # LLFF columns: [down, right, back, t]
+        poses[i, :, 0] = down
+        poses[i, :, 1] = right
+        poses[i, :, 2] = back
+        poses[i, :, 3] = pos
+        poses[i, :, 4] = [480, 640, 500.0]       # h, w, fl
+    pb = np.concatenate([poses.reshape(n, 15),
+                         np.tile([[1.0, 10.0]], (n, 1))], axis=1)
+
+    c2w, h, w, fl = n3v.convert_llff_poses(pb)
+    assert (h, w, fl) == (480, 640, 500.0)
+    # average camera radius rescaled to 4
+    radius = np.linalg.norm(c2w[:, :3, 3], axis=-1).mean()
+    np.testing.assert_allclose(radius, 4.0, rtol=1e-3)
+    # rotations stay orthonormal
+    for i in range(n):
+        r = c2w[i, :3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+    # end-to-end transforms writing
+    os.makedirs(tmp_path / "images")
+    for cam in range(n):
+        for f in range(2):
+            (tmp_path / "images" / f"cam{cam:02d}_{f:04d}.png").write_bytes(
+                b"")
+    np.save(tmp_path / "poses_bounds.npy", pb)
+    n3v.write_transforms(str(tmp_path))
+    with open(tmp_path / "transforms_train.json") as f:
+        train = json.load(f)
+    with open(tmp_path / "transforms_test.json") as f:
+        test = json.load(f)
+    assert len(test["frames"]) == 2          # cam00 held out
+    assert len(train["frames"]) == 4
+    assert train["fl_x"] == 500.0
+    assert train["frames"][1]["time"] == 1 / 30.0
