@@ -118,7 +118,9 @@ def init_from_pcd(
         times = ((rng.random((n, 1)) * 1.2 - 0.1) * dur
                  + time_duration[0])
     if mean_knn_dist2 is None:
-        from ..ops.knn import mean_dist2_to_3nn
+        # Native multithreaded exact 3-NN (replaces simple-knn's
+        # distCUDA2); numpy fallback inside when no compiler.
+        from ..native import mean_dist2_to_3nn
         mean_knn_dist2 = mean_dist2_to_3nn(points)
     dist2 = np.maximum(np.asarray(mean_knn_dist2), 1e-7)
     scales = np.log(np.sqrt(dist2))[:, None].repeat(3, axis=1)

@@ -107,3 +107,17 @@ def test_n3v_pose_conversion(tmp_path, rng):
     assert len(train["frames"]) == 4
     assert train["fl_x"] == 500.0
     assert train["frames"][1]["time"] == 1 / 30.0
+
+
+def test_native_knn3_exact(rng):
+    from fourdgs_tpu import native
+    pts = rng.normal(size=(800, 3)).astype(np.float32)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    d2.sort(axis=1)
+    exact = d2[:, :3].mean(1)
+    got = native.mean_dist2_to_3nn(pts)
+    if native.available():
+        np.testing.assert_allclose(got, exact, rtol=1e-5)
+    else:  # numpy fallback is exact below 4096 points too
+        np.testing.assert_allclose(got, exact, rtol=1e-5)
