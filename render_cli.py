@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Render a trained checkpoint's test/train views to PNG + metrics JSON.
+
+    python render_cli.py --config configs/dnerf/lego.yaml \
+        --checkpoint output/dnerf/lego/chkpnt_best.pkl [--split test]
+
+Plays the role of the reference eval pipeline (training_report renders,
+`train.py:302-342`) as a standalone tool, adding the depth colormap dump
+(`utils/image_utils.py:21`-style grayscale ramp).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--split", default="test", choices=["test", "train"])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--max_views", type=int, default=0)
+    ap.add_argument("--export_ply", default=None,
+                    help="also export the gaussian cloud as PLY")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    import numpy as np
+    from PIL import Image
+
+    from fourdgs_tpu.config import load_config
+    from fourdgs_tpu.engine.trainer import Trainer, fetch_gt
+    from fourdgs_tpu.utils import losses as loss_lib
+    import jax.numpy as jnp
+
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg)
+    trainer.load(args.checkpoint)
+    out_dir = args.out or os.path.join(
+        cfg.model.model_path or ".", f"renders_{args.split}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cams = (trainer.scene.test_cameras if args.split == "test"
+            else trainer.scene.train_cameras)
+    if args.max_views:
+        cams = cams[: args.max_views]
+
+    from fourdgs_tpu.engine.trainer import camera_intrinsics
+    metrics = []
+    for i, cam in enumerate(cams):
+        arrays = jax.tree.map(jnp.asarray, cam.arrays())
+        intr = jnp.asarray(camera_intrinsics(cam))
+        color, depth, alpha, *_ = trainer._render_eval(arrays, intr)
+        gt, _ = fetch_gt(cam, cfg.model.white_background)
+        psnr = float(loss_lib.psnr(color, jnp.asarray(gt)))
+        ssim = float(loss_lib.ssim(color, jnp.asarray(gt)))
+        msssim = float(loss_lib.msssim(color[None], jnp.asarray(gt)[None]))
+        metrics.append({"view": cam.image_name or str(i), "psnr": psnr,
+                        "ssim": ssim, "msssim": msssim,
+                        "timestamp": cam.timestamp})
+        rgb8 = (np.clip(np.asarray(color), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(rgb8).save(os.path.join(out_dir, f"{i:05d}.png"))
+        d = np.asarray(depth)
+        dmax = max(float(d.max()), 1e-6)
+        Image.fromarray((np.clip(d / dmax, 0, 1) * 255).astype(np.uint8)
+                        ).save(os.path.join(out_dir, f"{i:05d}_depth.png"))
+        print(f"[{i + 1}/{len(cams)}] psnr {psnr:.2f}", flush=True)
+
+    summary = {
+        "psnr": float(np.mean([m["psnr"] for m in metrics])) if metrics else 0,
+        "ssim": float(np.mean([m["ssim"] for m in metrics])) if metrics else 0,
+        "msssim": float(np.mean([m["msssim"] for m in metrics])) if metrics else 0,
+        "views": metrics,
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "views"}))
+
+    if args.export_ply:
+        from fourdgs_tpu.models.ply_io import export_gaussians_ply
+        export_gaussians_ply(args.export_ply, trainer.gauss,
+                             gaussian_dim=cfg.gaussian_dim,
+                             rot_4d=cfg.rot_4d)
+        print(f"exported cloud -> {args.export_ply}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
