@@ -164,8 +164,38 @@ class Trainer:
 
         self._probe_and_grow()
 
+        if cfg.model.model_path:
+            self._dump_scene_artifacts()
         if cfg.start_checkpoint:
             self.load(cfg.start_checkpoint)
+
+    def _dump_scene_artifacts(self):
+        """input.ply + cameras.json into the model dir (reference
+        Scene.__init__, `scene/__init__.py:55-72`)."""
+        import json as _json
+
+        from ..data.pointcloud import write_ply
+
+        out = self.cfg.model.model_path
+        os.makedirs(out, exist_ok=True)
+        pcd = self.scene.point_cloud
+        if pcd is not None:
+            write_ply(os.path.join(out, "input.ply"), pcd.points,
+                      pcd.colors * 255.0, times=pcd.times)
+        cams = []
+        for i, c in enumerate(self.scene.train_cameras):
+            c2w = np.linalg.inv(c.viewmatrix)
+            cams.append({
+                "id": i, "img_name": c.image_name,
+                "width": c.width, "height": c.height,
+                "position": c2w[:3, 3].tolist(),
+                "rotation": c2w[:3, :3].tolist(),
+                "fx": float(camera_intrinsics(c)[0]),
+                "fy": float(camera_intrinsics(c)[1]),
+                "timestamp": c.timestamp,
+            })
+        with open(os.path.join(out, "cameras.json"), "w") as f:
+            _json.dump(cams, f)
 
     # ------------------------------------------------------------------ IO
     def log(self, msg: str):
@@ -358,23 +388,50 @@ class Trainer:
                         self.cfg.model.model_path, f"chkpnt{it}.pkl"))
         return self.gauss
 
+    # --------------------------------------------------------- profiling
+    def start_trace(self, log_dir: str):
+        """jax.profiler trace (TPU equivalent of the reference's CUDA
+        event timing, `train.py:57-58`; view in TensorBoard/Perfetto)."""
+        jax.profiler.start_trace(log_dir)
+
+    def stop_trace(self):
+        jax.profiler.stop_trace()
+
     # -------------------------------------------------------------- eval
-    def evaluate(self, max_cameras: Optional[int] = None) -> float:
-        """PSNR/SSIM over the test split (reference training_report,
-        `train.py:276-345`). Returns mean PSNR."""
+    def evaluate(self, max_cameras: Optional[int] = None,
+                 with_msssim: bool = False,
+                 train_views: int = 0) -> float:
+        """PSNR/SSIM(/MS-SSIM) over the test split plus an optional sample
+        of train views (reference training_report, `train.py:276-345`,
+        which evaluates the full test set + 5 train views). Returns mean
+        test PSNR."""
+        white = self.cfg.model.white_background
+
+        def run(cams, tag):
+            psnrs, ssims, msssims = [], [], []
+            for cam in cams:
+                arrays = jax.tree.map(jnp.asarray, cam.arrays())
+                intr = jnp.asarray(camera_intrinsics(cam))
+                color, *_ = self._render_eval(arrays, intr)
+                gt, _ = fetch_gt(cam, white)
+                gt = jnp.asarray(gt)
+                psnrs.append(float(loss_lib.psnr(color, gt)))
+                ssims.append(float(loss_lib.ssim(color, gt)))
+                if with_msssim:
+                    msssims.append(float(loss_lib.msssim(color[None],
+                                                         gt[None])))
+            if psnrs:
+                msg = (f"eval[{tag}]: psnr {np.mean(psnrs):.3f} "
+                       f"ssim {np.mean(ssims):.4f}")
+                if msssims:
+                    msg += f" ms-ssim {np.mean(msssims):.4f}"
+                self.log(msg + f" ({len(cams)} cams)")
+            return float(np.mean(psnrs)) if psnrs else 0.0
+
         cams = self.scene.test_cameras
         if max_cameras:
             cams = cams[:max_cameras]
-        psnrs, ssims = [], []
-        white = self.cfg.model.white_background
-        for cam in cams:
-            arrays = jax.tree.map(jnp.asarray, cam.arrays())
-            intr = jnp.asarray(camera_intrinsics(cam))
-            color, *_ = self._render_eval(arrays, intr)
-            gt, _ = fetch_gt(cam, white)
-            psnrs.append(float(loss_lib.psnr(color, jnp.asarray(gt))))
-            ssims.append(float(loss_lib.ssim(color, jnp.asarray(gt))))
-        mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
-        self.log(f"eval: psnr {mean_psnr:.3f} ssim {float(np.mean(ssims)):.4f} "
-                 f"({len(cams)} cams)")
+        mean_psnr = run(cams, "test")
+        if train_views:
+            run(self.scene.train_cameras[:train_views], "train")
         return mean_psnr
