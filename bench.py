@@ -78,7 +78,7 @@ def main():
     def loss_fn(diff, aux):
         out = render(**diff, **aux, camera=cam, bg=bg, opts=opts,
                      capacity=capacity, max_per_tile=max_per_tile, chunk=32,
-                     backend=backend)
+                     backend=backend, fast_grad_reduce=(backend == "pallas"))
         loss, _, _ = photometric_loss(out.color, tgt)
         return loss, (out.num_rendered, out.max_per_tile)
 

@@ -101,6 +101,7 @@ def build_step_fn(
     chunk: int = 32,
     batch_size: int = 1,
     backend: str = "xla",
+    fast_grad_reduce: bool = True,
 ):
     """Build the (unjitted) train step for fixed static shapes. Use
     `make_train_step` for single-device jit or
@@ -120,7 +121,7 @@ def build_step_fn(
                 sh=act.sh, active=act.active, camera=cam, bg=bg,
                 opts=opts, capacity=capacity, max_per_tile=max_per_tile,
                 chunk=chunk, sh_mask=sh_mask, mean2d_tap=tap_b,
-                backend=backend)
+                backend=backend, fast_grad_reduce=fast_grad_reduce)
             color = out.color
             if has_env:
                 color = envmap_lib.composite_sky(

@@ -56,6 +56,128 @@ class AlignedBins(NamedTuple):
     max_per_tile: jax.Array    # () int32
 
 
+def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
+                          capacity: int, k: int) -> AlignedBins:
+    """One-sort construction of the K-aligned instance layout for the
+    Pallas kernels.
+
+    Instead of sorting the compact list and re-laying it out (two sorts +
+    many passes), per-tile padding DUMMY instances (depth = +inf) are
+    appended BEFORE the single (tile, depth) sort, sized from an instance
+    histogram so each tile's sorted segment is already a multiple of K.
+    Tile offsets come from the histogram, not a searchsorted.
+    """
+    p = proc.tiles_touched.shape[0]
+    num_tiles = opts.num_tiles
+    tiles_x = opts.tiles_x
+    tiles_y = opts.tiles_y
+    rp = aligned_capacity(capacity, num_tiles, k)
+
+    offsets = jnp.cumsum(proc.tiles_touched, dtype=jnp.int32)
+    num_rendered = offsets[-1]
+    # Whole-gaussian truncation on overflow: drop the boundary gaussian's
+    # partial instance run entirely so the rect-based histogram below
+    # agrees EXACTLY with the expanded instance set.
+    last_full = jnp.searchsorted(offsets, capacity, side="right") - 1
+    num_eff = jnp.where(last_full >= 0,
+                        offsets[jnp.maximum(last_full, 0)], 0)
+    num_eff = jnp.minimum(num_eff, capacity)
+
+    # Instance -> owning gaussian via begin-marks + cumsum (see
+    # bin_gaussians below for the trick).
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    begin = offsets - proc.tiles_touched
+    marks = jnp.zeros((capacity,), jnp.int32).at[begin].add(1, mode="drop")
+    owner = jnp.cumsum(marks) - 1
+    owner_c = jnp.clip(owner, 0, p - 1)
+
+    # TPU gathers cost ~constant per ROW regardless of width — pack every
+    # per-gaussian field needed downstream into one (P, 8) row and gather
+    # ONCE instead of 5 columnar gathers.
+    packed = jnp.stack([
+        proc.rect[:, 0].astype(jnp.float32),            # x0
+        proc.rect[:, 1].astype(jnp.float32),            # y0
+        jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0],  # width
+                    1).astype(jnp.float32),
+        begin.astype(jnp.float32),                      # first-slot index
+        proc.depth.astype(jnp.float32),
+        jnp.zeros((p,), jnp.float32),
+        jnp.zeros((p,), jnp.float32),
+        jnp.zeros((p,), jnp.float32),
+    ], axis=1)
+    g = packed[owner_c]                                 # (R, 8) one gather
+    x0 = g[:, 0].astype(jnp.int32)
+    y0 = g[:, 1].astype(jnp.int32)
+    width = g[:, 2].astype(jnp.int32)
+    local = slots - g[:, 3].astype(jnp.int32)
+    row = (local.astype(jnp.float32) * (1.0 / g[:, 2])).astype(jnp.int32)
+    row = jnp.where((row + 1) * width <= local, row + 1, row)
+    row = jnp.where(row * width > local, row - 1, row)
+    tile = (y0 + row) * tiles_x + x0 + (local - row * width)
+
+    valid = slots < num_eff
+    tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+    depth = jnp.where(valid, g[:, 4], jnp.inf).astype(jnp.float32)
+    gid = jnp.where(valid, owner_c, p).astype(jnp.int32)
+
+    # Per-tile instance histogram WITHOUT a 1.5M-element collision scatter:
+    # each included gaussian's rect adds a +1/-1 difference stencil to a
+    # (tiles_y+1, tiles_x+1) grid (4P tiny scatter-adds), and a separable
+    # 2D prefix sum recovers box counts.
+    included = ((jnp.arange(p) <= last_full)
+                & (proc.tiles_touched > 0)).astype(jnp.int32)
+    gx0 = proc.rect[:, 0]
+    gy0 = proc.rect[:, 1]
+    gx1 = proc.rect[:, 2]
+    gy1 = proc.rect[:, 3]
+    gw = tiles_x + 1
+    cells = jnp.concatenate([
+        gy0 * gw + gx0, gy0 * gw + gx1, gy1 * gw + gx0, gy1 * gw + gx1])
+    signs = jnp.concatenate([included, -included, -included, included])
+    diff = jnp.zeros(((tiles_y + 1) * gw,), jnp.int32).at[cells].add(
+        signs, mode="drop")
+    counts2d = jnp.cumsum(jnp.cumsum(
+        diff.reshape(tiles_y + 1, gw), axis=0), axis=1)
+    counts = counts2d[:tiles_y, :tiles_x].reshape(-1)
+    pad = (-counts) % k                              # per-tile dummy count
+    aligned_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts + pad, dtype=jnp.int32)[:-1]])
+
+    # Dummy block: K candidate dummies per tile, the first pad[t] live.
+    dummy_t = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 0)
+    dummy_i = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 1)
+    dummy_tile = jnp.where(dummy_i < pad[:, None], dummy_t,
+                           num_tiles).reshape(-1)
+    n_dummy = num_tiles * k
+    all_tile = jnp.concatenate([tile, dummy_tile])
+    all_depth = jnp.concatenate(
+        [depth, jnp.full((n_dummy,), jnp.inf, jnp.float32)])
+    all_gid = jnp.concatenate([gid, jnp.full((n_dummy,), p, jnp.int32)])
+    all_slot = jnp.concatenate(
+        [slots, capacity + jnp.arange(n_dummy, dtype=jnp.int32)])
+
+    _, _, gid_s, slot_s = jax.lax.sort(
+        (all_tile, all_depth, all_gid, all_slot), num_keys=2,
+        is_stable=True)
+
+    # Inverse permutation for the gradient reduce: a single-column int
+    # scatter (cheap; the pathological case is multi-column row scatters).
+    aligned_pos = jnp.full((capacity,), rp, jnp.int32).at[
+        jnp.minimum(slot_s, capacity)].set(
+            jnp.arange(rp, dtype=jnp.int32), mode="drop")
+
+    return AlignedBins(
+        gauss_id=gid_s,
+        aligned_pos=aligned_pos,
+        tile_start=aligned_off,
+        tile_count=counts,
+        offsets=offsets,
+        num_rendered=num_rendered,
+        max_per_tile=jnp.max(counts),
+    )
+
+
 def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
                   capacity: int) -> TileBins:
     """Build the sorted (tile, depth) instance list.
@@ -178,13 +300,17 @@ def aligned_entry_grads_to_gaussian_grads(
 ) -> jax.Array:
     """Aligned-layout variant of `entry_grads_to_gaussian_grads`: map to
     expansion order with a GATHER through the precomputed inverse
-    permutation, then cumsum segment sums."""
+    permutation, then cumsum segment sums.
+
+    The cumsum runs TRANSPOSED, (C, R) along the lane axis — an (R, 12)
+    layout pads 12 -> 128 lanes on TPU and costs ~10x the HBM traffic."""
     c = entry_grads.shape[1]
     rp = entry_grads.shape[0]
     pos = abins.aligned_pos                       # (R,)
+    gathered = entry_grads[jnp.minimum(pos, rp - 1)]
     unsorted = jnp.where((pos < rp)[:, None],
-                         entry_grads[jnp.minimum(pos, rp - 1)], 0.0)
-    csum = jnp.cumsum(unsorted, axis=0)
+                         gathered.astype(jnp.float32), 0.0)
+    csum = jnp.cumsum(unsorted, axis=0)           # (R, C) f32
     hi = jnp.minimum(abins.offsets, capacity) - 1
     lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                       abins.offsets[:-1]]), capacity) - 1

@@ -53,6 +53,7 @@ def render(
     colors_precomp: jax.Array | None = None,
     cov3d_precomp: jax.Array | None = None,
     backend: str = "xla",
+    fast_grad_reduce: bool = False,
 ) -> RenderOutputs:
     """Render one camera. All inputs post-activation; see `preprocess`.
 
@@ -67,27 +68,29 @@ def render(
         mean2d_tap=mean2d_tap, colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp)
 
-    bins = binning.bin_gaussians(
-        jax.lax.stop_gradient(proc), opts, capacity)
-
     feat = jnp.concatenate(
         [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
     if backend in ("pallas", "pallas_interpret"):
-        abins = binning.align_bins(bins, opts.num_tiles,
-                                   pallas_blend.CHUNK, means3d.shape[0])
+        abins = binning.bin_gaussians_aligned(
+            jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK)
         pcfg = pallas_blend.PallasBlendConfig(
             height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
             tiles_y=opts.tiles_y,
-            interpret=(backend == "pallas_interpret"))
+            interpret=(backend == "pallas_interpret"),
+            fast_grad_reduce=fast_grad_reduce)
         color, depth_img, flow_img, alpha_img = pallas_blend.blend_pallas(
             pcfg, proc.xy, proc.conic, proc.opacity, feat, bg, abins)
+        num_rendered, mpt = abins.num_rendered, abins.max_per_tile
     else:
+        bins = binning.bin_gaussians(
+            jax.lax.stop_gradient(proc), opts, capacity)
         cfg = blend_lib.make_blend_config(opts, chunk=chunk,
                                           max_per_tile=max_per_tile)
         color, depth_img, flow_img, alpha_img = blend_lib.blend(
             cfg, proc.xy, proc.conic, proc.opacity, feat, bg, bins)
+        num_rendered, mpt = bins.num_rendered, bins.max_per_tile
 
     return RenderOutputs(
         color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
         radii=proc.radius, visible=proc.visible,
-        num_rendered=bins.num_rendered, max_per_tile=bins.max_per_tile)
+        num_rendered=num_rendered, max_per_tile=mpt)
