@@ -166,8 +166,31 @@ class Trainer:
 
         if cfg.model.model_path:
             self._dump_scene_artifacts()
+        if cfg.model.loaded_pth:
+            self._load_initial_cloud(cfg.model.loaded_pth)
         if cfg.start_checkpoint:
             self.load(cfg.start_checkpoint)
+
+    def _load_initial_cloud(self, path: str):
+        """Parameter init from a saved cloud (reference --loaded_pth ->
+        create_from_pth, `gaussian_model.py:302-329`): gaussian PLY or a
+        checkpoint file; optimizer state starts fresh."""
+        if path.endswith(".ply"):
+            from ..models.ply_io import import_gaussians_ply
+            self.gauss = import_gaussians_ply(path)
+        else:
+            gauss, _, _, _ = ckpt_lib.load_checkpoint(path)
+            from ..models.gaussians import AdamState, GaussianParams
+            zerosP = GaussianParams(*[jnp.zeros_like(x)
+                                      for x in gauss.params])
+            self.gauss = gauss._replace(
+                adam=AdamState(zerosP,
+                               GaussianParams(*[jnp.zeros_like(x)
+                                                for x in gauss.params]),
+                               jnp.zeros((), jnp.int32)))
+        self.log(f"initialized cloud from {path} "
+                 f"({int(self.gauss.n_active)} gaussians)")
+        self._probe_and_grow()
 
     def _dump_scene_artifacts(self):
         """input.ply + cameras.json into the model dir (reference
@@ -332,12 +355,23 @@ class Trainer:
         t_start = time.perf_counter()
         ema_loss = 0.0
         it = self.step
+
+        def batch_stream():
+            """Infinite epoch-shuffled batches with one-batch lookahead
+            (the reference's DataLoader worker prefetch, train.py:80)."""
+            pending = None
+            while True:
+                for batch_idx in self._epoch_batches():
+                    fut = self._io_pool.submit(self._batch_arrays, batch_idx)
+                    if pending is not None:
+                        yield pending.result()
+                    pending = fut
+
+        stream = batch_stream()
         while it < total:
-            for batch_idx in self._epoch_batches():
+            for _ in range(total - it):
                 it += 1
-                if it > total:
-                    break
-                arrays, gt, alpha, intr = self._batch_arrays(batch_idx)
+                arrays, gt, alpha, intr = next(stream)
                 if self._step_fn is None:
                     self._build_step()
                 self.gauss, self.env, metrics = self._step_fn(
@@ -377,7 +411,7 @@ class Trainer:
                     on_step(it, metrics)
 
                 if it in test_iters and self.scene.test_cameras:
-                    psnr = self.evaluate()
+                    psnr = self.evaluate(with_msssim=True, train_views=5)
                     if psnr >= self.best_psnr:
                         self.best_psnr = psnr
                         if self.cfg.model.model_path:
