@@ -122,6 +122,26 @@ class Camera:
         )
 
 
+def camera_from_matrices(width: int, height: int, fovx: float, fovy: float,
+                         viewmatrix: np.ndarray,
+                         full_proj: np.ndarray,
+                         timestamp: float = 0.0) -> CameraArrays:
+    """CameraArrays straight from matrices (the reference's MiniCam,
+    `scene/cameras.py:91-103` — used by the live viewer)."""
+    viewmatrix = np.asarray(viewmatrix, np.float32)
+    campos = np.linalg.inv(viewmatrix)[:3, 3].astype(np.float32)
+    tanx, tany = math.tan(fovx / 2), math.tan(fovy / 2)
+    focal = np.array([width / (2 * tanx), height / (2 * tany)], np.float32)
+    return CameraArrays(
+        viewmatrix=viewmatrix,
+        projmatrix=np.asarray(full_proj, np.float32),
+        campos=campos,
+        focal=focal,
+        tanfov=np.array([tanx, tany], np.float32),
+        timestamp=np.float32(timestamp),
+    )
+
+
 def stack_cameras(cams: list) -> CameraArrays:
     """Stack host cameras into batched CameraArrays (leading axis B)."""
     parts = [c.arrays() for c in cams]

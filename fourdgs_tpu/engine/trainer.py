@@ -269,16 +269,38 @@ class Trainer:
                                      self.tile_capacity, self.chunk)
             has_env = self.env is not None
 
+            pipe = self.cfg.pipeline
+
             @jax.jit
             def eval_fn(gauss: GaussianState, env_tex, cam, intr):
                 act = activate(gauss.params, gauss.n_active)
+                extra = {}
+                # Reference oracle paths (`arguments/__init__.py:72-73`,
+                # `gaussian_renderer/__init__.py:73-111`): precompute color
+                # / conditional covariance outside the fused preprocess.
+                if pipe.convert_SHs_python:
+                    from ..ops import sh as shlib_
+                    dirs = act.means3d - cam.campos
+                    dirs = dirs / jnp.maximum(
+                        jnp.linalg.norm(dirs, -1, keepdims=True), 1e-12)
+                    if opts.gaussian_dim == 3 or opts.force_sh_3d:
+                        rgb = shlib_.sh_to_rgb(shlib_.eval_sh3d(act.sh, dirs))
+                    else:
+                        rgb = shlib_.sh_to_rgb(shlib_.eval_sh4d(
+                            act.sh, dirs, act.t - cam.timestamp,
+                            opts.time_duration))
+                    extra["colors_precomp"] = rgb
+                if pipe.compute_cov3D_python and opts.gaussian_dim == 3:
+                    from ..ops import gaussmath as gm_
+                    extra["cov3d_precomp"] = gm_.build_cov3d(
+                        act.scales, act.rotations)
                 out = render(
                     means3d=act.means3d, t=act.t, scales=act.scales,
                     scales_t=act.scales_t, rotations=act.rotations,
                     rotations_r=act.rotations_r, opacity=act.opacity,
                     sh=act.sh, active=act.active, camera=cam, bg=self.bg,
                     opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
-                    backend=self.backend)
+                    backend=self.backend, **extra)
                 color = out.color
                 if has_env:
                     color = envmap_lib.composite_sky(
@@ -399,6 +421,8 @@ class Trainer:
                                  int(metrics.max_per_tile))
 
                 loss = float(metrics.loss)
+                if not np.isfinite(loss) and self.cfg.pipeline.debug:
+                    self._dump_debug_snapshot(it, arrays, gt, alpha, intr)
                 ema_loss = 0.4 * loss + 0.6 * ema_loss if it > 1 else loss
                 if it % 50 == 0 or it == 1:
                     dt = time.perf_counter() - t_start
@@ -421,6 +445,21 @@ class Trainer:
                     self.save(os.path.join(
                         self.cfg.model.model_path, f"chkpnt{it}.pkl"))
         return self.gauss
+
+    def _dump_debug_snapshot(self, it, arrays, gt, alpha, intr):
+        """Non-finite-loss input dump (reference snapshot_fw.dump,
+        `diff_gaussian_rasterization.py:122-129`)."""
+        out = self.cfg.model.model_path or "."
+        path = os.path.join(out, f"snapshot_it{it}.npz")
+        np.savez(path,
+                 **{f"cam_{f}": np.asarray(getattr(arrays, f))
+                    for f in arrays._fields},
+                 gt=np.asarray(gt), alpha=np.asarray(alpha),
+                 intr=np.asarray(intr),
+                 **{f"param_{f}": np.asarray(getattr(self.gauss.params, f))
+                    for f in self.gauss.params._fields},
+                 n_active=int(self.gauss.n_active))
+        self.log(f"non-finite loss at it {it}; inputs dumped to {path}")
 
     # --------------------------------------------------------- profiling
     def start_trace(self, log_dir: str):
