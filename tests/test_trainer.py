@@ -99,3 +99,21 @@ def test_train_rigid_motion_losses(tmp_path):
     tr.train(on_step=lambda it, m: mets.append(m))
     assert all(np.isfinite(float(m.loss)) for m in mets)
     assert float(mets[-1].motion) >= 0
+
+
+def test_train_lazy_dataloader_mode(tmp_path):
+    """DyNeRF-style lazy image loading (dataloader=True): images fetched,
+    composited and resized at batch time (reference CameraDataset)."""
+    _write_scene(tmp_path, n_frames=4)
+    cfg = _config(tmp_path)
+    cfg.model.dataloader = True
+    cfg.optimization.iterations = 4
+    cfg.optimization.densify_from_iter = 1000
+    cfg.test_iterations = [4]
+    cfg.save_iterations = []
+    tr = Trainer(cfg, verbose=False)
+    assert tr.scene.train_cameras[0].image is None
+    losses = []
+    tr.train(on_step=lambda it, m: losses.append(float(m.loss)))
+    assert len(losses) == 4 and np.isfinite(losses).all()
+    assert tr.best_psnr > 0
