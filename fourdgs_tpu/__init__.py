@@ -7,19 +7,30 @@ Representation and Rendering with 4D Gaussian Splatting", ICLR 2024).
 Layer map (TPU-first, not a port):
 
   ops/       pure-JAX + Pallas compute: 4D gaussian math, spherindrical
-             harmonics, EWA projection, tile binning (lexicographic
-             on-device sort), matmul-structured alpha blending.
-  models/    the padded-capacity gaussian parameter pytree, functional
-             adaptive density control, env map.
-  data/      Blender-JSON / COLMAP scene readers, camera math, samplers.
-  parallel/  device-mesh sharding of the camera batch (data parallel over
-             ICI), gradient psum, multi-host input pipeline helpers.
-  utils/     losses (SSIM / MS-SSIM), metrics, LR schedules, PLY io,
-             checkpointing.
+             harmonics, EWA projection, one-sort K-aligned tile binning,
+             Pallas tile-blend kernels (fwd + analytic bwd, no atomics).
+  models/    padded-capacity gaussian parameter pytree, functional
+             adaptive density control, env map, PLY cloud I/O.
+  data/      Blender-JSON / COLMAP / N3V readers, camera math, samplers.
+  engine/    jitted train step, host trainer, checkpointing.
+  parallel/  device-mesh camera-batch sharding, multi-host input helpers,
+             single-frame strip sharding.
+  utils/     losses (SSIM / MS-SSIM / LPIPS), metrics logging.
+  native.py  ctypes bindings for the C++ helpers in native/.
 
-The reference implementation is a single-GPU CUDA/torch trainer; here the
-compute path is XLA/Pallas with static shapes, reductions instead of
-atomics, and an SPMD camera/ray batch axis.
+Public API shortcuts below; see README.md for the full map.
 """
 
 __version__ = "0.1.0"
+
+from .config import TrainConfig, load_config               # noqa: F401
+from .ops.preprocess import CameraArrays, RenderOptions    # noqa: F401
+from .render import RenderOutputs, render                  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy heavyweight imports (Trainer pulls in the whole stack).
+    if name == "Trainer":
+        from .engine.trainer import Trainer
+        return Trainer
+    raise AttributeError(name)

@@ -29,6 +29,7 @@ from ..ops.preprocess import CameraArrays, RenderOptions
 from ..ops.sh import num_sh_channels
 from ..render import render
 from ..utils import losses as loss_lib
+from ..utils.metrics_log import MetricsLogger
 from . import checkpoint as ckpt_lib
 from .step import StepConfig, make_train_step
 
@@ -161,6 +162,7 @@ class Trainer:
         self._step_fn = None
         self._eval_fn = None
         self._io_pool = ThreadPoolExecutor(max_workers=8)
+        self.metrics_log = MetricsLogger(cfg.model.model_path)
 
         self._probe_and_grow()
 
@@ -431,6 +433,13 @@ class Trainer:
                         f"psnr {float(metrics.psnr):.2f} "
                         f"pts {int(metrics.n_active)} "
                         f"({it / max(dt, 1e-9):.2f} it/s)")
+                if it % 10 == 0 or it == 1:
+                    self.metrics_log.log(
+                        it, loss=loss, ema_loss=ema_loss,
+                        l1=metrics.l1, ssim_loss=metrics.ssim_loss,
+                        psnr=metrics.psnr, total_points=metrics.n_active,
+                        num_rendered=metrics.num_rendered,
+                        rigid=metrics.rigid, motion=metrics.motion)
                 if on_step is not None:
                     on_step(it, metrics)
 
@@ -507,4 +516,5 @@ class Trainer:
         mean_psnr = run(cams, "test")
         if train_views:
             run(self.scene.train_cameras[:train_views], "train")
+        self.metrics_log.log(self.step, eval_psnr=mean_psnr)
         return mean_psnr

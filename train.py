@@ -12,6 +12,7 @@ same as the reference's OmegaConf merge at train.py:381-390; use
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -29,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval", action="store_true", default=None)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="jax_debug_nans (reference --detect_anomaly)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of iterations 10-20")
     p.add_argument("--override", nargs="*", default=[],
                    help="dotted KEY=VALUE post-YAML overrides, e.g. "
                         "optimization.lambda_rigid=0.5")
@@ -79,14 +84,28 @@ def main(argv=None):
         print("error: --config or --source_path required", file=sys.stderr)
         return 2
 
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
     from fourdgs_tpu.engine.trainer import Trainer
 
     trainer = Trainer(cfg, verbose=not args.quiet)
-    trainer.train()
+    if args.profile_dir:
+        def on_step(it, metrics):
+            if it == 10:
+                trainer.start_trace(args.profile_dir)
+            elif it == 20:
+                trainer.stop_trace()
+        trainer.train(on_step=on_step)
+    else:
+        trainer.train()
     if trainer.scene.test_cameras:
         trainer.evaluate()
     if cfg.model.model_path:
-        import os
         trainer.save(os.path.join(cfg.model.model_path, "chkpnt_final.pkl"))
     return 0
 
