@@ -29,6 +29,8 @@ class RenderOutputs(NamedTuple):
     visible: jax.Array      # (P,) bool
     num_rendered: jax.Array  # () int32 (host checks vs capacity)
     max_per_tile: jax.Array  # () int32 (host checks vs blend bound)
+    cov3d_com: jax.Array    # (P, 6) conditional 3D covariance (packed) —
+    #                         the reference's covs_com (rasterize_points.cu:147)
 
 
 def render(
@@ -93,4 +95,4 @@ def render(
     return RenderOutputs(
         color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
         radii=proc.radius, visible=proc.visible,
-        num_rendered=num_rendered, max_per_tile=mpt)
+        num_rendered=num_rendered, max_per_tile=mpt, cov3d_com=proc.cov3d)
