@@ -22,7 +22,7 @@ import json
 import os
 import shutil
 import subprocess
-from typing import Optional
+
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
+
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional

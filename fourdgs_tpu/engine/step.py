@@ -11,8 +11,8 @@ reproduced exactly from the per-camera viewspace-tap gradients.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
