@@ -261,3 +261,134 @@ def project_points(mean3d: jax.Array, projmatrix: jax.Array, wh: jax.Array):
 def view_z(mean3d: jax.Array, viewmatrix: jax.Array) -> jax.Array:
     """View-space depth (the reference's blend depth channel)."""
     return mean3d @ viewmatrix[2, :3] + viewmatrix[2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Columnar (scalar-expanded) variants for the production preprocess path.
+#
+# The matrix forms above materialize (P, 3, 3)/(P, 4, 4) intermediates whose
+# minor dims pad to 128 lanes on TPU (up to ~40x wasted traffic) and whose
+# batched 3x3/4x4 dot_generals map poorly onto the MXU. These expansions
+# keep every quantity a (P,) column so XLA emits pure lane-efficient
+# elementwise code. Each is golden-tested against its matrix twin
+# (tests/test_columnar.py).
+# ---------------------------------------------------------------------------
+
+def rotor4d_rows(q_l: jax.Array, q_r: jax.Array):
+    """SO(4) matrix entries of `rotor4d_to_rotmat` as 16 (P,) columns.
+
+    Returns r[i][j] == rotor4d_to_rotmat(q_l, q_r)[..., i, j].
+    """
+    a, b, c, d = q_l[..., 0], q_l[..., 1], q_l[..., 2], q_l[..., 3]
+    p, q, r, s = q_r[..., 0], q_r[..., 1], q_r[..., 2], q_r[..., 3]
+    # m = M_l @ M_r (see rotor4d_to_rotmat; machine-generated expansion),
+    # then both axes reversed.
+    m = [[a * p + b * q + c * r + d * s,
+          a * q - b * p - c * s + d * r,
+          a * r + b * s - c * p - d * q,
+          a * s - b * r + c * q - d * p],
+         [b * p - a * q + d * r - c * s,
+          b * q + a * p - d * s - c * r,
+          b * r - a * s - d * p + c * q,
+          b * s + a * r + d * q + c * p],
+         [c * p - d * q - a * r + b * s,
+          c * q + d * p + a * s + b * r,
+          c * r - d * s + a * p - b * q,
+          c * s + d * r - a * q - b * p],
+         [d * p + c * q - b * r - a * s,
+          d * q - c * p + b * s - a * r,
+          d * r + c * s + b * p + a * q,
+          d * s - c * r - b * q + a * p]]
+    return [[m[3 - i][3 - j] for j in range(4)] for i in range(4)]
+
+
+def cov4d_blocks_columnar(scales_xyzt: jax.Array, q_l: jax.Array,
+                          q_r: jax.Array):
+    """Σ = R S² Rᵀ blocks as columns: (cov11 packed 6-list, cov12 3-list,
+    cov_t) — equivalent to build_cov4d's [..., :3, :3]/[..., :3, 3]/[3, 3]."""
+    rr = rotor4d_rows(q_l, q_r)
+    s2 = [scales_xyzt[..., k] ** 2 for k in range(4)]
+
+    def entry(i, j):
+        return sum(rr[i][k] * s2[k] * rr[j][k] for k in range(4))
+
+    cov11 = [entry(0, 0), entry(0, 1), entry(0, 2),
+             entry(1, 1), entry(1, 2), entry(2, 2)]
+    cov12 = [entry(0, 3), entry(1, 3), entry(2, 3)]
+    return cov11, cov12, entry(3, 3)
+
+
+def condition_cov4d_columnar(scales_xyzt, q_l, q_r, t, timestamp,
+                             prefilter_var: float = -1.0):
+    """Columnar twin of build_cov4d + condition_cov4d. Returns
+    (cov3 packed (P, 6), delta_mean (P, 3), marginal (P,), cov_t (P,))."""
+    cov11, cov12, cov_t = cov4d_blocks_columnar(scales_xyzt, q_l, q_r)
+    dt = timestamp - t
+    safe = jnp.maximum(cov_t, 1e-12)
+    inv = 1.0 / safe
+    c0, c1, c2 = cov12
+    cond = jnp.stack([
+        cov11[0] - c0 * c0 * inv, cov11[1] - c0 * c1 * inv,
+        cov11[2] - c0 * c2 * inv, cov11[3] - c1 * c1 * inv,
+        cov11[4] - c1 * c2 * inv, cov11[5] - c2 * c2 * inv], axis=-1)
+    scale_dt = inv * dt
+    delta = jnp.stack([c0 * scale_dt, c1 * scale_dt, c2 * scale_dt], -1)
+    var = safe + prefilter_var if prefilter_var > 0.0 else safe
+    marginal = jnp.exp(-0.5 * dt * dt / var)
+    return cond, delta, marginal, cov_t
+
+
+def cov3d_columnar(scales: jax.Array, quats: jax.Array) -> jax.Array:
+    """Columnar twin of build_cov3d (3D mode): packed (P, 6)."""
+    r_, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    rr = [[1 - 2 * (y * y + z * z), 2 * (x * y - r_ * z), 2 * (x * z + r_ * y)],
+          [2 * (x * y + r_ * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r_ * x)],
+          [2 * (x * z - r_ * y), 2 * (y * z + r_ * x), 1 - 2 * (x * x + y * y)]]
+    s2 = [scales[..., k] ** 2 for k in range(3)]
+
+    def entry(i, j):
+        return sum(rr[i][k] * s2[k] * rr[j][k] for k in range(3))
+
+    return jnp.stack([entry(0, 0), entry(0, 1), entry(0, 2),
+                      entry(1, 1), entry(1, 2), entry(2, 2)], axis=-1)
+
+
+def ewa_project_columnar(mean3d, cov3, viewmatrix, focal, tan_fov):
+    """Columnar twin of ewa_project: packed 2D covariance (P, 3)."""
+    w = viewmatrix[:3, :3]
+    x, y, z = mean3d[..., 0], mean3d[..., 1], mean3d[..., 2]
+    tview = [w[i, 0] * x + w[i, 1] * y + w[i, 2] * z + viewmatrix[i, 3]
+             for i in range(3)]
+    tz = tview[2]
+    lim0 = FOV_CLAMP * tan_fov[0]
+    lim1 = FOV_CLAMP * tan_fov[1]
+    txz = jnp.clip(tview[0] / tz, -lim0, lim0) * tz
+    tyz = jnp.clip(tview[1] / tz, -lim1, lim1) * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    j00 = focal[0] * inv_z
+    j02 = -(focal[0] * txz) * inv_z2
+    j11 = focal[1] * inv_z
+    j12 = -(focal[1] * tyz) * inv_z2
+    m0 = [j00 * w[0, k] + j02 * w[2, k] for k in range(3)]
+    m1 = [j11 * w[1, k] + j12 * w[2, k] for k in range(3)]
+    xx, xy, xz = cov3[..., 0], cov3[..., 1], cov3[..., 2]
+    yy, yz, zz = cov3[..., 3], cov3[..., 4], cov3[..., 5]
+    sig = [[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]]
+    sm0 = [sum(sig[i][k] * m0[k] for k in range(3)) for i in range(3)]
+    sm1 = [sum(sig[i][k] * m1[k] for k in range(3)) for i in range(3)]
+    cxx = sum(m0[k] * sm0[k] for k in range(3)) + LOWPASS
+    cxy = sum(m0[k] * sm1[k] for k in range(3))
+    cyy = sum(m1[k] * sm1[k] for k in range(3)) + LOWPASS
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def project_points_columnar(mean3d, projmatrix, wh):
+    """Columnar twin of project_points."""
+    x, y, z = mean3d[..., 0], mean3d[..., 1], mean3d[..., 2]
+    hom = [projmatrix[i, 0] * x + projmatrix[i, 1] * y
+           + projmatrix[i, 2] * z + projmatrix[i, 3] for i in range(4)]
+    inv_w = 1.0 / (hom[3] + HOMOGENEOUS_EPS)
+    ndc = jnp.stack([hom[0] * inv_w, hom[1] * inv_w, hom[2] * inv_w], -1)
+    xy = ((ndc[..., :2] + 1.0) * wh - 1.0) * 0.5
+    return xy, ndc

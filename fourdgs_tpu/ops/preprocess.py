@@ -113,6 +113,8 @@ def preprocess(
     mod = opts.scale_modifier
 
     # --- temporal conditioning -------------------------------------------
+    # Columnar (scalar-expanded) math throughout: no (P, 3, 3)/(P, 4, 4)
+    # intermediates, which pad to 128 lanes on TPU (see gaussmath.py).
     if cov3d_precomp is not None:
         cov3 = cov3d_precomp
         shifted = means3d
@@ -120,14 +122,14 @@ def preprocess(
         op = opacity
     elif opts.gaussian_dim == 4 and opts.rot_4d:
         scales_xyzt = jnp.concatenate([scales, scales_t[..., None]], axis=-1) * mod
-        cov4 = gm.build_cov4d(scales_xyzt, rotations, rotations_r)
-        cov3, delta_mean, marginal, _ = gm.condition_cov4d(
-            cov4, t, camera.timestamp, opts.prefilter_var)
+        cov3, delta_mean, marginal, _ = gm.condition_cov4d_columnar(
+            scales_xyzt, rotations, rotations_r, t, camera.timestamp,
+            opts.prefilter_var)
         marginal_ok = marginal > gm.MARGINAL_CULL
         shifted = means3d + delta_mean
         op = opacity * marginal
     else:
-        cov3 = gm.build_cov3d(scales * mod, rotations)
+        cov3 = gm.cov3d_columnar(scales * mod, rotations)
         shifted = means3d
         if opts.gaussian_dim == 4:
             marginal = gm.marginal_t_separable(
@@ -143,13 +145,13 @@ def preprocess(
     in_front = depth > gm.NEAR_PLANE
 
     wh = jnp.asarray([opts.width, opts.height], dtype=means3d.dtype)
-    xy, ndc = gm.project_points(shifted, camera.projmatrix, wh)
+    xy, ndc = gm.project_points_columnar(shifted, camera.projmatrix, wh)
     if mean2d_tap is not None:
         # Gradient tap in NDC units (value is zeros).
         xy = xy + mean2d_tap * (wh * 0.5)
 
-    cov2d = gm.ewa_project(shifted, cov3, camera.viewmatrix, camera.focal,
-                           camera.tanfov)
+    cov2d = gm.ewa_project_columnar(shifted, cov3, camera.viewmatrix,
+                                    camera.focal, camera.tanfov)
     conic, radius_f, conic_ok = gm.cov2d_to_conic_radius(cov2d)
 
     # --- tile rect (getRect semantics, auxiliary.h:47-57) ----------------
