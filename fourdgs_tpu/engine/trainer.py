@@ -228,12 +228,20 @@ class Trainer:
             print(f"[fourdgs] {msg}", flush=True)
 
     def save(self, path: str):
-        ckpt_lib.save_checkpoint(path, self.gauss, self.env, self.step,
-                                 extra={"best_psnr": self.best_psnr})
+        ckpt_lib.save_checkpoint(
+            path, self.gauss, self.env, self.step,
+            extra={"best_psnr": self.best_psnr,
+                   # sampler + split RNG state -> bit-exact resume
+                   "np_rng_state": self.rng.bit_generator.state,
+                   "jax_key": np.asarray(self.key)})
 
     def load(self, path: str):
         self.gauss, self.env, self.step, extra = ckpt_lib.load_checkpoint(path)
         self.best_psnr = extra.get("best_psnr", 0.0)
+        if "np_rng_state" in extra:
+            self.rng.bit_generator.state = extra["np_rng_state"]
+        if "jax_key" in extra:
+            self.key = jnp.asarray(extra["jax_key"])
         self._step_fn = None
 
     # ---------------------------------------------------------- batching

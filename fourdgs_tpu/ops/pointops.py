@@ -94,3 +94,50 @@ def aggregation(feats: jax.Array, weights: jax.Array,
     """Weighted neighbor aggregation: feats (M, C), weights (N, k),
     idx (N, k) -> (N, C)."""
     return jnp.einsum("nk,nkc->nc", weights, feats[idx])
+
+
+# ---------------------------------------------------------------------------
+# Sparse point-attention ops (Point Transformer V2 family). The reference
+# binds these from pointops2 but the 4DGS trainer never calls them
+# (`pointops_api.cpp:16-45`, SURVEY §2.2); provided for API completeness.
+# Edge pairs are COO-style: edge m relates query index0[m] to key/value
+# index1[m]. All differentiable through jax AD (no custom kernels needed —
+# the gather/segment-sum forms autodiff to the reference's scatter
+# backward).
+# ---------------------------------------------------------------------------
+
+def attention_step1(q: jax.Array, k: jax.Array, index0: jax.Array,
+                    index1: jax.Array) -> jax.Array:
+    """Per-edge attention logits: q (N, h, d), k (N, h, d),
+    index0/index1 (M,) -> (M, h) with out[m, h] = q[index0[m], h] . k[index1[m], h]."""
+    return jnp.einsum("mhd,mhd->mh", q[index0], k[index1])
+
+
+def attention_step2(attn: jax.Array, v: jax.Array, index0: jax.Array,
+                    index1: jax.Array, n: int | None = None) -> jax.Array:
+    """Weighted value aggregation: attn (M, h), v (N, h, d) ->
+    out (N, h, d) with out[n] = sum_{m: index0[m]=n} attn[m] * v[index1[m]]."""
+    n = n or v.shape[0]
+    contrib = attn[:, :, None] * v[index1]
+    return jax.ops.segment_sum(contrib, index0, num_segments=n)
+
+
+def dot_prod_with_idx(q: jax.Array, index: jax.Array, table: jax.Array,
+                      rel_idx: jax.Array) -> jax.Array:
+    """Relative-position logits: q (N, h, d), index (M,),
+    table (L, h, d, 3), rel_idx (M, 3) -> (M, h) with
+    out[m, h] = sum_d sum_a q[index[m], h, d] * table[rel_idx[m, a], h, d, a]."""
+    pos = jnp.stack([table[rel_idx[:, a], :, :, a] for a in range(3)], -1)
+    return jnp.einsum("mhd,mhda->mh", q[index], pos)
+
+
+def attention_step2_with_rel_pos_value(
+        attn: jax.Array, v: jax.Array, index0: jax.Array,
+        index1: jax.Array, table: jax.Array, rel_idx: jax.Array,
+        n: int | None = None) -> jax.Array:
+    """attention_step2 with per-edge relative positional values added to v:
+    table (L, h, d, 3), rel_idx (M, 3)."""
+    n = n or v.shape[0]
+    pos = sum(table[rel_idx[:, a], :, :, a] for a in range(3))
+    contrib = attn[:, :, None] * (v[index1] + pos)
+    return jax.ops.segment_sum(contrib, index0, num_segments=n)

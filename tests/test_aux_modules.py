@@ -121,3 +121,32 @@ def test_native_knn3_exact(rng):
         np.testing.assert_allclose(got, exact, rtol=1e-5)
     else:  # numpy fallback is exact below 4096 points too
         np.testing.assert_allclose(got, exact, rtol=1e-5)
+
+
+def test_pointops_attention(rng):
+    n, m, h, d, L = 10, 25, 2, 4, 6
+    q = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    i0 = jnp.asarray(rng.integers(0, n, m), jnp.int32)
+    i1 = jnp.asarray(rng.integers(0, n, m), jnp.int32)
+    attn = pointops.attention_step1(q, k, i0, i1)
+    assert attn.shape == (m, h)
+    np.testing.assert_allclose(
+        float(attn[0, 0]),
+        float(np.dot(np.asarray(q)[int(i0[0]), 0],
+                     np.asarray(k)[int(i1[0]), 0])), rtol=1e-5)
+    out = pointops.attention_step2(attn, v, i0, i1)
+    assert out.shape == (n, h, d)
+    # row with no incoming edges is zero
+    missing = set(range(n)) - set(np.asarray(i0).tolist())
+    for r in missing:
+        np.testing.assert_allclose(np.asarray(out[r]), 0.0, atol=1e-6)
+
+    table = jnp.asarray(rng.normal(size=(L, h, d, 3)), jnp.float32)
+    rel = jnp.asarray(rng.integers(0, L, (m, 3)), jnp.int32)
+    logits = pointops.dot_prod_with_idx(q, i0, table, rel)
+    assert logits.shape == (m, h)
+    out2 = pointops.attention_step2_with_rel_pos_value(attn, v, i0, i1,
+                                                       table, rel)
+    assert out2.shape == (n, h, d)

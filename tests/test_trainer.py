@@ -117,3 +117,29 @@ def test_train_lazy_dataloader_mode(tmp_path):
     tr.train(on_step=lambda it, m: losses.append(float(m.loss)))
     assert len(losses) == 4 and np.isfinite(losses).all()
     assert tr.best_psnr > 0
+
+
+def test_resume_is_bit_exact(tmp_path):
+    """Checkpoint at iter k, continue to k+n; vs a fresh trainer resumed
+    from the checkpoint trained the same n iters: identical parameters
+    (deterministic data order via restored RNG state)."""
+    _write_scene(tmp_path, n_frames=6)
+    cfg = _config(tmp_path)
+    cfg.optimization.iterations = 8
+    cfg.optimization.densify_from_iter = 3
+    cfg.optimization.densification_interval = 4
+    cfg.test_iterations = []
+    cfg.save_iterations = []
+    tr = Trainer(cfg, verbose=False)
+    tr.train(num_iterations=4)
+    ck = str(tmp_path / "mid.pkl")
+    tr.save(ck)
+    tr.train(num_iterations=8)
+
+    t2 = Trainer(cfg, scene=tr.scene, verbose=False)
+    t2.load(ck)
+    t2.train(num_iterations=8)
+    np.testing.assert_allclose(np.asarray(t2.gauss.params.xyz),
+                               np.asarray(tr.gauss.params.xyz), atol=0)
+    np.testing.assert_allclose(np.asarray(t2.gauss.adam.mu.opacity),
+                               np.asarray(tr.gauss.adam.mu.opacity), atol=0)
