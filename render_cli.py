@@ -39,6 +39,10 @@ def main(argv=None):
     from fourdgs_tpu.utils import losses as loss_lib
     import jax.numpy as jnp
 
+    if not os.path.exists(args.checkpoint):
+        print(f"error: checkpoint not found: {args.checkpoint}",
+              file=__import__("sys").stderr)
+        return 2
     cfg = load_config(args.config)
     trainer = Trainer(cfg)
     trainer.load(args.checkpoint)

@@ -83,6 +83,10 @@ def main(argv=None):
     if not cfg.model.source_path:
         print("error: --config or --source_path required", file=sys.stderr)
         return 2
+    if cfg.start_checkpoint and not os.path.exists(cfg.start_checkpoint):
+        print(f"error: checkpoint not found: {cfg.start_checkpoint}",
+              file=sys.stderr)
+        return 2
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
