@@ -106,7 +106,9 @@ class TrainConfig:
     # TPU execution knobs (no reference analogue).
     capacity_slack: float = 1.3        # padded-cloud headroom
     instance_slack: float = 1.5        # tile-instance buffer headroom
-    data_axis: int = 1                 # devices on the camera-batch mesh axis
+    data_axis: int = 0                 # devices on the camera-batch mesh
+    #                                    axis (0 = all available; sharding
+    #                                    engages when batch_size divides)
     eval_interval: int = 500           # used when exhaust_test
 
 

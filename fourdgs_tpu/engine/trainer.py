@@ -265,13 +265,23 @@ class Trainer:
 
     # ------------------------------------------------------- step builders
     def _build_step(self):
-        self._step_fn = make_train_step(
-            self.opts, self.step_cfg,
-            capacity=self.inst_capacity,
-            max_per_tile=self.tile_capacity,
-            chunk=self.chunk,
-            batch_size=self.cfg.batch_size,
-            backend=self.backend)
+        kw = dict(capacity=self.inst_capacity,
+                  max_per_tile=self.tile_capacity,
+                  chunk=self.chunk,
+                  batch_size=self.cfg.batch_size,
+                  backend=self.backend)
+        n_dev = min(self.cfg.data_axis or len(jax.devices()),
+                    len(jax.devices()))
+        if n_dev > 1 and self.cfg.batch_size % n_dev == 0:
+            # Data-parallel camera batch over the device mesh: cloud
+            # replicated, per-camera work sharded, grads all-reduced by
+            # XLA over ICI (parallel/mesh.py).
+            from ..parallel import make_mesh, make_sharded_train_step
+            self.log(f"sharded train step over {n_dev} devices")
+            self._step_fn = make_sharded_train_step(
+                self.opts, self.step_cfg, make_mesh(n_dev), **kw)
+        else:
+            self._step_fn = make_train_step(self.opts, self.step_cfg, **kw)
 
     def _render_eval(self, cam_arrays: CameraArrays, intr):
         if self._eval_fn is None:

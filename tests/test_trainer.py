@@ -143,3 +143,25 @@ def test_resume_is_bit_exact(tmp_path):
                                np.asarray(tr.gauss.params.xyz), atol=0)
     np.testing.assert_allclose(np.asarray(t2.gauss.adam.mu.opacity),
                                np.asarray(tr.gauss.adam.mu.opacity), atol=0)
+
+
+def test_trainer_uses_sharded_step_on_mesh(tmp_path):
+    """With 8 CPU devices and batch_size 8, the trainer trains through the
+    sharded data-parallel step."""
+    import jax
+    assert len(jax.devices()) >= 8
+    _write_scene(tmp_path, n_frames=8)
+    cfg = _config(tmp_path)
+    cfg.batch_size = 8
+    cfg.data_axis = 8
+    cfg.optimization.iterations = 3
+    cfg.optimization.densify_from_iter = 1000
+    cfg.test_iterations = []
+    cfg.save_iterations = []
+    logs = []
+    tr = Trainer(cfg, verbose=True)
+    tr.log = lambda m: logs.append(m)
+    losses = []
+    tr.train(on_step=lambda it, m: losses.append(float(m.loss)))
+    assert any("sharded train step over 8 devices" in m for m in logs)
+    assert len(losses) == 3 and np.isfinite(losses).all()
