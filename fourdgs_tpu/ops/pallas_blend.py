@@ -116,8 +116,9 @@ def _alpha_terms(inst, px, py):
 
 def _mm(a, b):
     """f32-exact matmul: the triangular cumsums run in log space where
-    bf16 MXU passes (the TPU default) would cost ~1e-3 relative error in
-    the transmittance chain."""
+    single-pass bf16 (the TPU default) would cost ~1e-3 relative error in
+    the transmittance chain. (Mosaic rejects Precision.HIGH, so HIGHEST
+    is the only f32-accurate option in-kernel.)"""
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
@@ -210,9 +211,26 @@ def _forward_kernel(cfg: PallasBlendConfig):
             state_ref[:] = jnp.concatenate(
                 [t_out, done_out.astype(jnp.float32), ncon_out,
                  jnp.zeros((PIX, 5), jnp.float32)], axis=1)
-            return carry
+            # Saturation early-exit: once every pixel is done, remaining
+            # chunks contribute nothing (forward.cu:592-596 semantics).
+            return jnp.min(done_out.astype(jnp.float32)) > 0.0
 
-        jax.lax.fori_loop(0, nchunks, body, 0)
+        def loop_body(carry):
+            c, _ = carry
+            return c + 1, body(c, 0)
+
+        def loop_cond(carry):
+            c, all_done = carry
+            return (c < nchunks) & ~all_done
+
+        c_stop, _ = jax.lax.while_loop(loop_cond, loop_body,
+                                       (jnp.int32(0), False))
+
+        # Drain the in-flight prefetch when the saturation exit fired
+        # (body(c) prefetches chunk c+1 before processing c).
+        @pl.when(c_stop < nchunks)
+        def _():
+            dma(c_stop % 2, c_stop).wait()
 
         out_ref[0] = jnp.concatenate([
             acc_ref[:, 0:FEAT], state_ref[:, 0:1], state_ref[:, 2:3],
