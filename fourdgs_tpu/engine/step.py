@@ -153,7 +153,13 @@ def build_step_fn(
                 idx, dist2 = knn(jax.lax.stop_gradient(act.means3d),
                                  k=cfg.rigid_k, valid=act.active)
                 w = jnp.exp(-100.0 * jnp.sqrt(jnp.maximum(dist2, 0.0)))
-                vel_dist = safe_norm(vel[idx] - vel[:, None, :])
+                # Columnar gathers: vel[idx] as a (P, k, 3) row gather
+                # would lane-pad the minor dim 42x on TPU.
+                vd2 = jnp.zeros(idx.shape, vel.dtype)
+                for c in range(3):
+                    col = vel[:, c]
+                    vd2 = vd2 + (col[idx] - col[:, None]) ** 2
+                vel_dist = jnp.sqrt(jnp.maximum(vd2, 1e-24))
                 w = jnp.where(act.active[:, None], w, 0.0)
                 rigid = jnp.sum(w * vel_dist) / cfg.rigid_k / n
                 loss = loss + cfg.lambda_rigid * rigid

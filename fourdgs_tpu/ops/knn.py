@@ -118,7 +118,13 @@ def knn(points: jax.Array, k: int = 20, window: int = 64,
     sp = points[order]
     offs = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
     cand = jnp.clip(jnp.arange(n)[:, None] + offs[None, :], 0, n - 1)
-    d2 = jnp.sum((sp[:, None, :] - sp[cand]) ** 2, -1)
+    # Per-coordinate 1-D gathers: a row-gather producing (N*W, 3) would be
+    # laid out with the minor dim padded to 128 lanes (42x memory blowup —
+    # 16 GB at N=256k, W=128 on TPU).
+    d2 = jnp.zeros(cand.shape, points.dtype)
+    for c in range(3):
+        col = sp[:, c]
+        d2 = d2 + (col[:, None] - col[cand]) ** 2
     d2 = jnp.where(cand == jnp.arange(n)[:, None], big, d2)
     if valid is not None:
         sorted_valid = valid[order]
