@@ -423,11 +423,23 @@ class Trainer:
                     self.bg)
                 self.step = it
 
+                # Host<->device sync discipline: materializing any metric
+                # blocks on the whole step and serializes host batch prep
+                # with device compute. Sync only at logging / event
+                # boundaries so steps in between stay fully async
+                # (the reference syncs every iteration via .item(),
+                # `train.py:192-199` — a known GPU-side stall too).
+                sync = (it % 10 == 0 or it == 1
+                        or it % opt.densification_interval == 0
+                        or it % opt.opacity_reset_interval == 0
+                        or it in test_iters or it in save_iters
+                        or on_step is not None)
+
                 # Densification (train.py:231-244).
                 in_window = (it < opt.densify_until_iter
                              and (opt.densify_until_num_points < 0
-                                  or int(self.gauss.n_active)
-                                  < opt.densify_until_num_points))
+                                  or (sync and int(self.gauss.n_active)
+                                      < opt.densify_until_num_points)))
                 if in_window and (it > opt.densify_from_iter
                                   and it % opt.densification_interval == 0):
                     self._densify_event(it)
@@ -437,27 +449,29 @@ class Trainer:
                             and it == opt.densify_from_iter)):
                     self.gauss = dz.reset_opacity(self.gauss)
 
-                self._maybe_grow(int(metrics.num_rendered),
-                                 int(metrics.max_per_tile))
+                if sync:
+                    self._maybe_grow(int(metrics.num_rendered),
+                                     int(metrics.max_per_tile))
 
-                loss = float(metrics.loss)
-                if not np.isfinite(loss) and self.cfg.pipeline.debug:
-                    self._dump_debug_snapshot(it, arrays, gt, alpha, intr)
-                ema_loss = 0.4 * loss + 0.6 * ema_loss if it > 1 else loss
-                if it % 50 == 0 or it == 1:
-                    dt = time.perf_counter() - t_start
-                    self.log(
-                        f"it {it}/{total} loss {ema_loss:.4f} "
-                        f"psnr {float(metrics.psnr):.2f} "
-                        f"pts {int(metrics.n_active)} "
-                        f"({it / max(dt, 1e-9):.2f} it/s)")
-                if it % 10 == 0 or it == 1:
-                    self.metrics_log.log(
-                        it, loss=loss, ema_loss=ema_loss,
-                        l1=metrics.l1, ssim_loss=metrics.ssim_loss,
-                        psnr=metrics.psnr, total_points=metrics.n_active,
-                        num_rendered=metrics.num_rendered,
-                        rigid=metrics.rigid, motion=metrics.motion)
+                    loss = float(metrics.loss)
+                    if not np.isfinite(loss) and self.cfg.pipeline.debug:
+                        self._dump_debug_snapshot(it, arrays, gt, alpha, intr)
+                    ema_loss = (0.4 * loss + 0.6 * ema_loss
+                                if it > 1 else loss)
+                    if it % 50 == 0 or it == 1:
+                        dt = time.perf_counter() - t_start
+                        self.log(
+                            f"it {it}/{total} loss {ema_loss:.4f} "
+                            f"psnr {float(metrics.psnr):.2f} "
+                            f"pts {int(metrics.n_active)} "
+                            f"({it / max(dt, 1e-9):.2f} it/s)")
+                    if it % 10 == 0 or it == 1:
+                        self.metrics_log.log(
+                            it, loss=loss, ema_loss=ema_loss,
+                            l1=metrics.l1, ssim_loss=metrics.ssim_loss,
+                            psnr=metrics.psnr, total_points=metrics.n_active,
+                            num_rendered=metrics.num_rendered,
+                            rigid=metrics.rigid, motion=metrics.motion)
                 if on_step is not None:
                     on_step(it, metrics)
 
