@@ -463,16 +463,30 @@ def _blend_pallas_forward(cfg, xy, conic, opacity, feat, bg, abins):
 
 
 def _blend_pallas_fwd(cfg, xy, conic, opacity, feat, bg, abins):
-    out, t_final, ncon = _blend_pallas_forward(
-        cfg, xy, conic, opacity, feat, bg, abins)
-    return out, (xy, conic, opacity, feat, bg, abins, t_final, ncon)
+    from .blend import BlendConfig, _tiles_to_image
+
+    # Mirrors _blend_pallas_forward but keeps the gathered instance data
+    # as a residual (recomputing the (Rp, 16) gather in the backward costs
+    # ~10 ms at 800x800).
+    inst = _build_inst_data(xy, conic, opacity, feat, abins)
+    accum, t_final, ncon = blend_forward_pallas(
+        cfg, inst, abins.tile_start, abins.tile_count)
+    bc = BlendConfig(height=cfg.height, width=cfg.width,
+                     tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
+    color = _tiles_to_image(
+        accum[..., 0:3] + t_final[..., None] * bg[None, None, :], bc)
+    depth = _tiles_to_image(accum[..., 3], bc)
+    flow = _tiles_to_image(accum[..., 4:6], bc)
+    alpha = _tiles_to_image(1.0 - t_final, bc)
+    out = (color, depth, flow, alpha)
+    return out, (inst, bg, abins, t_final, ncon)
 
 
 def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     from .binning import aligned_entry_grads_to_gaussian_grads
     from .blend import BlendConfig, _image_to_tiles
 
-    xy, conic, opacity, feat, bg, abins, t_final, ncon = res
+    inst, bg, abins, t_final, ncon = res
     d_color, d_depth, d_flow, d_alpha = cots
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
@@ -495,7 +509,6 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
         jnp.zeros(dc.shape[:2] + (OUT_COLS - FEAT - 3,), jnp.float32),
     ], axis=-1)                                   # (T, 256, 16)
 
-    inst = _build_inst_data(xy, conic, opacity, feat, abins)
     entry_grads = blend_backward_pallas(
         cfg, inst, abins.tile_start, abins.tile_count, cot)
     # Only 10 of the 12 gradient rows matter downstream: the flow feature

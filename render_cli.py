@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--max_views", type=int, default=0)
     ap.add_argument("--export_ply", default=None,
                     help="also export the gaussian cloud as PLY")
+    ap.add_argument("--video_frames", type=int, default=0,
+                    help="render a time sweep (N frames over the scene's "
+                         "time_duration) from the first camera")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,6 +88,23 @@ def main(argv=None):
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: v for k, v in summary.items() if k != "views"}))
+
+    if args.video_frames > 0:
+        import dataclasses
+        vdir = os.path.join(out_dir, "time_sweep")
+        os.makedirs(vdir, exist_ok=True)
+        base = cams[0] if cams else trainer.scene.train_cameras[0]
+        t0, t1 = trainer.time_duration
+        for k in range(args.video_frames):
+            ts = t0 + (t1 - t0) * k / max(args.video_frames - 1, 1)
+            cam_k = dataclasses.replace(base, timestamp=ts)
+            arrays = jax.tree.map(jnp.asarray, cam_k.arrays())
+            intr = jnp.asarray(camera_intrinsics(cam_k))
+            color, *_ = trainer._render_eval(arrays, intr)
+            rgb8 = (np.clip(np.asarray(color), 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(rgb8).save(
+                os.path.join(vdir, f"t_{k:04d}.png"))
+        print(f"time sweep: {args.video_frames} frames -> {vdir}")
 
     if args.export_ply:
         from fourdgs_tpu.models.ply_io import export_gaussians_ply
