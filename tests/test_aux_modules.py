@@ -150,3 +150,19 @@ def test_pointops_attention(rng):
     out2 = pointops.attention_step2_with_rel_pos_value(attn, v, i0, i1,
                                                        table, rel)
     assert out2.shape == (n, h, d)
+
+
+def test_image_utils(tmp_path, rng):
+    import jax.numpy as jnp
+    from fourdgs_tpu.utils.image import (easy_cmap, mse,
+                                         search_for_max_iteration)
+    x = jnp.asarray(rng.random((8, 6)), jnp.float32)
+    cm = easy_cmap(x)
+    assert cm.shape == (8, 6, 3)
+    assert float(cm.min()) >= 0 and float(cm.max()) <= 1
+    a = jnp.asarray(rng.random((2, 4, 4, 3)), jnp.float32)
+    assert mse(a, a).shape == (2, 1)
+    (tmp_path / "chkpnt100.pkl").write_bytes(b"")
+    (tmp_path / "chkpnt7000.pkl").write_bytes(b"")
+    (tmp_path / "readme.txt").write_bytes(b"")
+    assert search_for_max_iteration(str(tmp_path)) == 7000
