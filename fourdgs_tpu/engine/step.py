@@ -54,6 +54,10 @@ class StepConfig(NamedTuple):
     env_map_res: int = 0
     env_optimize_from: int = 0
     env_optimize_until: int = 1 << 30
+    # Reference steps the optimizer only while iteration < opt.iterations
+    # (`train.py:245-246`): the final iteration computes grads but skips
+    # the update.
+    iterations: int = 1 << 30
 
 
 class StepMetrics(NamedTuple):
@@ -150,8 +154,13 @@ def build_step_fn(
             safe_norm = lambda v: jnp.sqrt(
                 jnp.maximum(jnp.sum(v * v, axis=-1), 1e-24))
             if cfg.lambda_rigid > 0:
+                # The reference pointops `knn(x, x, k)` returns the query
+                # point itself as a zero-contribution neighbor
+                # (`train.py:138-152`), so only k−1 real neighbors enter the
+                # sum while the normalization stays /k. Our knn excludes
+                # self, so query k−1 neighbors and keep /k.
                 idx, dist2 = knn(jax.lax.stop_gradient(act.means3d),
-                                 k=cfg.rigid_k, valid=act.active)
+                                 k=cfg.rigid_k - 1, valid=act.active)
                 w = jnp.exp(-100.0 * jnp.sqrt(jnp.maximum(dist2, 0.0)))
                 # Columnar gathers: vel[idx] as a (P, k, 3) row gather
                 # would lane-pad the minor dim 42x on TPU.
@@ -202,13 +211,14 @@ def build_step_fn(
 
         # --- Adam ---------------------------------------------------------
         lrs = group_lrs(cfg, cfg.spatial_lr_scale, step)
-        active = jnp.arange(p) < gauss.n_active
+        do_step = step < cfg.iterations    # reference train.py:245-246
+        active = (jnp.arange(p) < gauss.n_active) & do_step
         new_params, new_adam = adam_update(
             gauss.params, g_params, gauss.adam, lrs, update_mask=active)
         gauss = gauss._replace(params=new_params, adam=new_adam)
 
         if has_env:
-            do_env = ((step >= cfg.env_optimize_from)
+            do_env = (do_step & (step >= cfg.env_optimize_from)
                       & (step < cfg.env_optimize_until))
             count = env.count + do_env.astype(jnp.int32)
             b1c = 1.0 - 0.9 ** jnp.maximum(count.astype(jnp.float32), 1.0)

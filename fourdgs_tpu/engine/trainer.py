@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 import os
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
@@ -145,7 +146,8 @@ class Trainer:
             sh_degree_t=self.sh_deg_t,
             env_map_res=cfg.pipeline.env_map_res,
             env_optimize_from=cfg.pipeline.env_optimize_from,
-            env_optimize_until=cfg.pipeline.env_optimize_until)
+            env_optimize_until=cfg.pipeline.env_optimize_until,
+            iterations=opt.iterations)
 
         self.densify_cfg = dz.DensifyConfig(
             grad_threshold=opt.densify_grad_threshold,
@@ -162,6 +164,7 @@ class Trainer:
         self._step_fn = None
         self._eval_fn = None
         self._io_pool = ThreadPoolExecutor(max_workers=8)
+        self._inflight = deque()   # (it, num_rendered, max_per_tile) probes
         self.metrics_log = MetricsLogger(cfg.model.model_path)
 
         self._probe_and_grow()
@@ -243,6 +246,11 @@ class Trainer:
         if "jax_key" in extra:
             self.key = jnp.asarray(extra["jax_key"])
         self._step_fn = None
+        self._eval_fn = None
+        # Densified checkpoints are typically several-fold larger than the
+        # init cloud the budgets were probed from — re-probe so resumed
+        # training / render_cli never silently truncates.
+        self._probe_and_grow()
 
     # ---------------------------------------------------------- batching
     def _batch_arrays(self, idx: List[int], train: bool = True):
@@ -293,16 +301,57 @@ class Trainer:
 
             @jax.jit
             def eval_fn(gauss: GaussianState, env_tex, cam, intr):
+                from ..ops import gaussmath as gm_
                 act = activate(gauss.params, gauss.n_active)
                 extra = {}
+                means3d, opacity, active = act.means3d, act.opacity, act.active
                 # Reference oracle paths (`arguments/__init__.py:72-73`,
-                # `gaussian_renderer/__init__.py:73-111`): precompute color
-                # / conditional covariance outside the fused preprocess.
+                # `gaussian_renderer/__init__.py:73-147`): precompute color /
+                # conditional covariance outside the fused preprocess. For 4D,
+                # the python path precomputes the conditional covariance +
+                # mean offset, folds the temporal marginal into opacity, and
+                # prefilters gaussians with marginal ≤ 0.05 (the reference
+                # physically drops them; masking `active` is our static-shape
+                # equivalent — both render nothing for those gaussians).
+                delta_mean = None
+                if pipe.compute_cov3D_python:
+                    if opts.gaussian_dim == 4 and opts.rot_4d:
+                        sxyzt = jnp.concatenate(
+                            [act.scales, act.scales_t[..., None]], axis=-1)
+                        cov3, delta_mean, marginal, _ = \
+                            gm_.condition_cov4d_columnar(
+                                sxyzt, act.rotations, act.rotations_r,
+                                act.t, cam.timestamp)
+                        means3d = means3d + delta_mean
+                        extra["cov3d_precomp"] = cov3
+                    else:
+                        extra["cov3d_precomp"] = gm_.cov3d_columnar(
+                            act.scales, act.rotations)
+                        if opts.gaussian_dim == 4:
+                            marginal = gm_.marginal_t_separable(
+                                act.t, act.scales_t, cam.timestamp)
+                    if opts.gaussian_dim == 4:
+                        opacity = opacity * marginal
+                        active = active & (marginal > 0.05)
                 if pipe.convert_SHs_python:
                     from ..ops import sh as shlib_
-                    dirs = act.means3d - cam.campos
+                    # The reference python SH path evaluates at the SHIFTED
+                    # means (`gaussian_renderer/__init__.py:100-104`) —
+                    # unlike its CUDA path (forward.cu:480-487, unshifted).
+                    if (delta_mean is None and opts.gaussian_dim == 4
+                            and opts.rot_4d):
+                        sxyzt = jnp.concatenate(
+                            [act.scales, act.scales_t[..., None]], axis=-1)
+                        _, delta_mean, _, _ = gm_.condition_cov4d_columnar(
+                            sxyzt, act.rotations, act.rotations_r,
+                            act.t, cam.timestamp)
+                    shifted = (act.means3d + delta_mean
+                               if delta_mean is not None
+                               and not pipe.compute_cov3D_python
+                               else means3d)
+                    dirs = jax.lax.stop_gradient(shifted - cam.campos)
                     dirs = dirs / jnp.maximum(
-                        jnp.linalg.norm(dirs, -1, keepdims=True), 1e-12)
+                        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
                     if opts.gaussian_dim == 3 or opts.force_sh_3d:
                         rgb = shlib_.sh_to_rgb(shlib_.eval_sh3d(act.sh, dirs))
                     else:
@@ -310,15 +359,11 @@ class Trainer:
                             act.sh, dirs, act.t - cam.timestamp,
                             opts.time_duration))
                     extra["colors_precomp"] = rgb
-                if pipe.compute_cov3D_python and opts.gaussian_dim == 3:
-                    from ..ops import gaussmath as gm_
-                    extra["cov3d_precomp"] = gm_.build_cov3d(
-                        act.scales, act.rotations)
                 out = render(
-                    means3d=act.means3d, t=act.t, scales=act.scales,
+                    means3d=means3d, t=act.t, scales=act.scales,
                     scales_t=act.scales_t, rotations=act.rotations,
-                    rotations_r=act.rotations_r, opacity=act.opacity,
-                    sh=act.sh, active=act.active, camera=cam, bg=self.bg,
+                    rotations_r=act.rotations_r, opacity=opacity,
+                    sh=act.sh, active=active, camera=cam, bg=self.bg,
                     opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
                     backend=self.backend, **extra)
                 color = out.color
@@ -335,14 +380,20 @@ class Trainer:
         """Render the first camera and grow instance/tile budgets until the
         probe fits (replaces the reference's resize-callback buffers,
         `rasterize_points.cu:28-34`)."""
-        cam = self.scene.train_cameras[0]
+        self.render_view(self.scene.train_cameras[0])
+
+    def render_view(self, cam: Camera):
+        """Render one camera, growing instance/tile budgets (and
+        re-rendering) on overflow so the result is never truncated.
+        Returns (color, depth, alpha) device arrays."""
         arrays = jax.tree.map(jnp.asarray, cam.arrays())
         intr = jnp.asarray(camera_intrinsics(cam))
         for _ in range(8):
-            *_, num_rendered, max_per_tile = self._render_eval(arrays, intr)
-            grew = self._maybe_grow(int(num_rendered), int(max_per_tile))
-            if not grew:
-                break
+            color, depth, alpha, num_rendered, max_per_tile = \
+                self._render_eval(arrays, intr)
+            if not self._maybe_grow(int(num_rendered), int(max_per_tile)):
+                return color, depth, alpha
+        raise RuntimeError("render budgets failed to converge after 8 probes")
 
     def _maybe_grow(self, num_rendered: int, max_per_tile: int) -> bool:
         grew = False
@@ -392,7 +443,11 @@ class Trainer:
         if self.cfg.exhaust_test:
             test_iters |= set(range(self.cfg.eval_interval, total + 1,
                                     self.cfg.eval_interval))
-        save_iters = set(self.cfg.save_iterations)
+        # checkpoint_iterations is an extra save list (3DGS-style knob kept
+        # for config compatibility; both produce chkpnt{it} files like the
+        # reference Scene.save, `scene/__init__.py:91-92`).
+        save_iters = (set(self.cfg.save_iterations)
+                      | set(self.cfg.checkpoint_iterations))
 
         t_start = time.perf_counter()
         ema_loss = 0.0
@@ -422,6 +477,22 @@ class Trainer:
                     jnp.asarray(gt), jnp.asarray(alpha), jnp.asarray(intr),
                     self.bg)
                 self.step = it
+
+                # Per-step overflow watch: poll earlier steps' counters as
+                # they become ready (non-blocking — keeps the async dispatch
+                # pipeline intact) so a densify-induced spike grows budgets
+                # within ~1-2 steps instead of waiting for the next sync.
+                self._inflight.append(
+                    (it, metrics.num_rendered, metrics.max_per_tile))
+                while self._inflight and self._inflight[0][1].is_ready():
+                    pit, nr_arr, mpt_arr = self._inflight.popleft()
+                    nr, mpt = int(nr_arr), int(mpt_arr)
+                    if nr > self.inst_capacity or mpt > self.tile_capacity:
+                        self.log(f"overflow at it {pit} "
+                                 f"(instances {nr}/{self.inst_capacity}, "
+                                 f"per-tile {mpt}/{self.tile_capacity}) — "
+                                 "growing budgets")
+                        self._maybe_grow(nr, mpt)
 
                 # Host<->device sync discipline: materializing any metric
                 # blocks on the whole step and serializes host batch prep
@@ -476,7 +547,8 @@ class Trainer:
                     on_step(it, metrics)
 
                 if it in test_iters and self.scene.test_cameras:
-                    psnr = self.evaluate(with_msssim=True, train_views=5)
+                    psnr = self.evaluate(with_msssim=True, train_views=5,
+                                         save_panels=True)
                     if psnr >= self.best_psnr:
                         self.best_psnr = psnr
                         if self.cfg.model.model_path:
@@ -514,21 +586,27 @@ class Trainer:
     # -------------------------------------------------------------- eval
     def evaluate(self, max_cameras: Optional[int] = None,
                  with_msssim: bool = False,
-                 train_views: int = 0) -> float:
+                 train_views: int = 0,
+                 save_panels: bool = False) -> float:
         """PSNR/SSIM(/MS-SSIM) over the test split plus an optional sample
-        of train views (reference training_report, `train.py:276-345`,
-        which evaluates the full test set + 5 train views). Returns mean
+        of train views (reference training_report, `train.py:302-342`,
+        which evaluates the full test set + train views 5,10,15,20,25).
+        Renders are overflow-checked (budgets grow + re-render, never
+        truncate). With `save_panels`, writes gt|render|alpha|depth-cmap
+        grids for the first 5 views of each split into
+        model_path/eval (reference `train.py:320-325`). Returns mean
         test PSNR."""
         white = self.cfg.model.white_background
 
         def run(cams, tag):
             psnrs, ssims, msssims = [], [], []
-            for cam in cams:
-                arrays = jax.tree.map(jnp.asarray, cam.arrays())
-                intr = jnp.asarray(camera_intrinsics(cam))
-                color, *_ = self._render_eval(arrays, intr)
+            for i, cam in enumerate(cams):
+                color, depth, alpha = self.render_view(cam)
                 gt, _ = fetch_gt(cam, white)
                 gt = jnp.asarray(gt)
+                if save_panels and i < 5 and self.cfg.model.model_path:
+                    self._save_eval_panel(tag, i, cam, gt, color, depth,
+                                          alpha)
                 psnrs.append(float(loss_lib.psnr(color, gt)))
                 ssims.append(float(loss_lib.ssim(color, gt)))
                 if with_msssim:
@@ -547,6 +625,31 @@ class Trainer:
             cams = cams[:max_cameras]
         mean_psnr = run(cams, "test")
         if train_views:
-            run(self.scene.train_cameras[:train_views], "train")
+            # Reference samples train views idx % n for idx in 5..25 step 5
+            # (`train.py:304`).
+            n = len(self.scene.train_cameras)
+            idxs = [idx % n for idx in range(5, 5 * (train_views + 1), 5)]
+            run([self.scene.train_cameras[i] for i in idxs], "train")
         self.metrics_log.log(self.step, eval_psnr=mean_psnr)
         return mean_psnr
+
+    def _save_eval_panel(self, tag: str, idx: int, cam: Camera, gt, color,
+                         depth, alpha):
+        """2x2 gt|render / alpha|depth-colormap grid PNG (the reference's
+        tensorboard image grid, `train.py:320-325`, as files)."""
+        from PIL import Image
+
+        from ..utils.image import easy_cmap
+        panels = [np.asarray(jnp.clip(gt, 0, 1)),
+                  np.asarray(jnp.clip(color, 0, 1)),
+                  np.repeat(np.asarray(jnp.clip(alpha, 0, 1))[..., None],
+                            3, axis=-1),
+                  np.asarray(easy_cmap(depth))]
+        top = np.concatenate(panels[:2], axis=1)
+        bot = np.concatenate(panels[2:], axis=1)
+        grid = (np.concatenate([top, bot], axis=0) * 255).astype(np.uint8)
+        out = os.path.join(self.cfg.model.model_path, "eval")
+        os.makedirs(out, exist_ok=True)
+        name = cam.image_name or str(idx)
+        Image.fromarray(grid).save(
+            os.path.join(out, f"it{self.step:06d}_{tag}_{name}.png"))

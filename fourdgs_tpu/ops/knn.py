@@ -90,14 +90,27 @@ def morton_codes(points: jax.Array) -> jax.Array:
             | (_spread_bits_jnp(q[:, 2]) << 2))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window", "exact"))
-def knn(points: jax.Array, k: int = 20, window: int = 64,
-        exact: bool = False, valid: jax.Array | None = None):
+@functools.partial(jax.jit, static_argnames=("k", "span", "exact",
+                                              "row_block"))
+def knn(points: jax.Array, k: int = 20, span: int = 32768,
+        exact: bool = False, valid: jax.Array | None = None,
+        row_block: int = 2048):
     """k nearest neighbors of each point among `points`.
 
     Returns (idx (N, k) int32, dist2 (N, k) float32), nearest-first,
     excluding self. `valid` masks padding rows (they are neither queried
     sensibly nor returned as neighbors).
+
+    Large N uses a block-exact sweep: Morton-sort the cloud, then each
+    block of `row_block` consecutive sorted rows computes EXACT distances
+    (MXU matmul on centered coordinates) against the ±`span` surrounding
+    sorted columns and reduces with `lax.approx_min_k`. Unlike a per-point
+    curve window (whose recall collapses on clustered clouds), the 2·span
+    candidate slab covers a macroscopic fraction of the cloud — recall is
+    1.0 on adversarial blob tests at 50k points (tests/test_knn_window.py)
+    and the sweep degrades gracefully to fully exact when 2·span ≥ N.
+    Replaces the reference's exact CUDA grid query (pointops `knnquery`,
+    `utils/general_utils.py:170-184`).
     """
     n = points.shape[0]
     big = jnp.float32(jnp.inf)
@@ -112,26 +125,63 @@ def knn(points: jax.Array, k: int = 20, window: int = 64,
     code = morton_codes(points)
     if valid is not None:
         code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(code)
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
-    sp = points[order]
-    offs = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
-    cand = jnp.clip(jnp.arange(n)[:, None] + offs[None, :], 0, n - 1)
-    # Per-coordinate 1-D gathers: a row-gather producing (N*W, 3) would be
-    # laid out with the minor dim padded to 128 lanes (42x memory blowup —
-    # 16 GB at N=256k, W=128 on TPU).
-    d2 = jnp.zeros(cand.shape, points.dtype)
-    for c in range(3):
-        col = sp[:, c]
-        d2 = d2 + (col[:, None] - col[cand]) ** 2
-    d2 = jnp.where(cand == jnp.arange(n)[:, None], big, d2)
+    order = jnp.argsort(code).astype(jnp.int32)
+
+    r = row_block
+    n_pad = (n + r - 1) // r * r
+    pad = n_pad - n
+    # Padding rows sit past the real points with +inf coordinates (never
+    # selected as neighbors; their own results are discarded).
+    sp = jnp.pad(points[order], ((0, pad), (0, 0)),
+                 constant_values=jnp.inf)
+    sval = None
     if valid is not None:
-        sorted_valid = valid[order]
-        d2 = jnp.where(sorted_valid[cand], d2, big)
-    neg, j = jax.lax.top_k(-d2, k)
-    idx_sorted = jnp.take_along_axis(cand, j, axis=1)
-    # Map back to original indexing.
-    idx = jnp.zeros((n, k), jnp.int32).at[inv].set(order[idx_sorted])
-    dist2 = jnp.zeros((n, k)).at[inv].set(-neg)
+        sval = jnp.pad(valid[order], (0, pad), constant_values=False)
+        sp = jnp.where(sval[:, None], sp, jnp.inf)
+    w = min(2 * span, n_pad)
+    n_blocks = n_pad // r
+
+    def one_block(b):
+        row0 = b * r
+        rows = jax.lax.dynamic_slice(sp, (row0, 0), (r, 3))
+        start = jnp.clip(row0 + r // 2 - w // 2, 0, n_pad - w)
+        cols = jax.lax.dynamic_slice(sp, (start, 0), (w, 3))
+        # Center on the row block: |xi|^2 + |xj|^2 - 2 xi.xj loses ~all
+        # mantissa bits for close pairs unless coordinates are local.
+        c = jnp.nanmean(jnp.where(jnp.isfinite(rows), rows, jnp.nan),
+                        axis=0)
+        c = jnp.where(jnp.isfinite(c), c, 0.0)
+        rz = jnp.where(jnp.isfinite(rows), rows - c, 1e17)
+        cz = jnp.where(jnp.isfinite(cols), cols - c, 1e17)
+        cross = jax.lax.dot_general(
+            rz, cz, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)       # (r, w) MXU
+        d2 = (jnp.sum(rz * rz, -1)[:, None]
+              + jnp.sum(cz * cz, -1)[None, :] - 2.0 * cross)
+        gcol = start + jnp.arange(w)
+        self_mask = gcol[None, :] == (row0 + jnp.arange(r))[:, None]
+        d2 = jnp.where(self_mask, big, jnp.maximum(d2, 0.0))
+        # approx_min_k is the TPU-optimized reduction (hardware
+        # PartialReduce; exact final top-k over the reduced set); its CPU
+        # fallback is ~50x slower than top_k, so pick by backend.
+        if w >= 128 and jax.default_backend() not in ("cpu",):
+            _, j = jax.lax.approx_min_k(d2, k)
+        else:
+            _, j = jax.lax.top_k(-d2, k)
+        # The matmul form loses ~half the mantissa to cancellation for
+        # close pairs; recompute the k winners' distances difference-first
+        # (exact) — k*r elements per block, negligible.
+        vals = jnp.zeros(j.shape, jnp.float32)
+        for c in range(3):
+            vals = vals + (jnp.take(cz[:, c], j) - rz[:, c][:, None]) ** 2
+        return vals, jnp.take(gcol, j)                 # sorted-space idx
+
+    vals, gidx = jax.lax.map(one_block, jnp.arange(n_blocks))
+    vals = vals.reshape(n_pad, k)[:n]
+    gidx = jnp.clip(gidx.reshape(n_pad, k)[:n], 0, n - 1)
+    # Un-sort: sorted row r holds original point order[r], so its results
+    # scatter to position order[r].
+    idx = jnp.zeros((n, k), jnp.int32).at[order].set(order[gidx])
+    dist2 = jnp.zeros((n, k)).at[order].set(
+        jnp.where(jnp.isfinite(vals), vals, big))
     return idx, dist2

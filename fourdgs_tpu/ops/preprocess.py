@@ -107,7 +107,10 @@ def preprocess(
         (`gaussian_renderer/__init__.py:27-31`, NDC-unit gradients).
       colors_precomp: optional (P, 3) overrides SH evaluation.
       cov3d_precomp: optional (P, 6) overrides covariance computation
-        (3D mode only, mirrors the reference's cov3D_precomp path).
+        (mirrors the reference's cov3D_precomp path). For 4D the caller
+        pre-shifts `means3d` by Δμ, folds the temporal marginal into
+        `opacity`, and folds the 0.05 prefilter into `active`
+        (`gaussian_renderer/__init__.py:73-147`).
     """
     p = means3d.shape[0]
     mod = opts.scale_modifier

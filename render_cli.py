@@ -58,12 +58,11 @@ def main(argv=None):
     if args.max_views:
         cams = cams[: args.max_views]
 
-    from fourdgs_tpu.engine.trainer import camera_intrinsics
     metrics = []
     for i, cam in enumerate(cams):
-        arrays = jax.tree.map(jnp.asarray, cam.arrays())
-        intr = jnp.asarray(camera_intrinsics(cam))
-        color, depth, alpha, *_ = trainer._render_eval(arrays, intr)
+        # render_view grows budgets + re-renders on overflow: densified
+        # checkpoints never silently truncate.
+        color, depth, alpha = trainer.render_view(cam)
         gt, _ = fetch_gt(cam, cfg.model.white_background)
         psnr = float(loss_lib.psnr(color, jnp.asarray(gt)))
         ssim = float(loss_lib.ssim(color, jnp.asarray(gt)))
@@ -98,9 +97,7 @@ def main(argv=None):
         for k in range(args.video_frames):
             ts = t0 + (t1 - t0) * k / max(args.video_frames - 1, 1)
             cam_k = dataclasses.replace(base, timestamp=ts)
-            arrays = jax.tree.map(jnp.asarray, cam_k.arrays())
-            intr = jnp.asarray(camera_intrinsics(cam_k))
-            color, *_ = trainer._render_eval(arrays, intr)
+            color, *_ = trainer.render_view(cam_k)
             rgb8 = (np.clip(np.asarray(color), 0, 1) * 255).astype(np.uint8)
             Image.fromarray(rgb8).save(
                 os.path.join(vdir, f"t_{k:04d}.png"))

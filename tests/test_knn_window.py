@@ -1,0 +1,87 @@
+"""Block-exact kNN sweep (ops/knn.py) validated at production scale against
+exact brute-force neighbors on an adversarial clustered cloud: recall of the
+true 19-NN set and the induced rigid-loss error (reference `train.py:131-152`
+semantics). Covers both the fully-covering case (2*span >= N: exact) and the
+windowed slab case (2*span < N)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourdgs_tpu.ops.knn import knn
+
+
+def _clustered_cloud(rng, n):
+    """A blobby cloud like a densified gaussian scene (not uniform)."""
+    centers = rng.normal(size=(32, 3)) * 2.0
+    assign = rng.integers(0, 32, size=n)
+    return (centers[assign]
+            + rng.normal(size=(n, 3)) * rng.uniform(0.02, 0.3, (n, 1))
+            ).astype(np.float32)
+
+
+def _exact_for_queries(pts, q, k):
+    d2_full = ((pts[q][:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    d2_full[np.arange(len(q)), q] = np.inf
+    exact_idx = np.argsort(d2_full, axis=1)[:, :k]
+    return exact_idx, np.take_along_axis(d2_full, exact_idx, axis=1)
+
+
+def _rigid(vel, ii, dd2, qq):
+    w = np.exp(-100.0 * np.sqrt(np.maximum(dd2, 0)))
+    vd = np.linalg.norm(vel[ii] - vel[qq][:, None, :], axis=-1)
+    return float((w * vd).sum())
+
+
+def test_block_sweep_recall_and_rigid_error():
+    rng = np.random.default_rng(0)
+    n, k, n_query = 50_000, 19, 512
+    pts = _clustered_cloud(rng, n)
+
+    q = rng.choice(n, size=n_query, replace=False)
+    exact_idx, exact_d2 = _exact_for_queries(pts, q, k)
+
+    for span, min_recall in ((32768, 0.9999), (8192, 0.97)):
+        idx, dist2 = knn(jnp.asarray(pts), k=k, span=span)
+        idx, dist2 = np.asarray(idx), np.asarray(dist2)
+
+        # Distances are self-consistent with the returned indices.
+        rc = ((pts[idx[q[0]]] - pts[q[0]]) ** 2).sum(-1)
+        np.testing.assert_allclose(rc, dist2[q[0]], rtol=1e-3, atol=1e-6)
+
+        recall = np.mean([
+            len(set(idx[qi]) & set(exact_idx[j])) / k
+            for j, qi in enumerate(q)])
+        assert recall >= min_recall, \
+            f"span={span}: recall {recall:.4f} < {min_recall}"
+
+        # Rigid-loss surrogate: smooth velocity field, weighted
+        # velocity-difference sum on sweep vs exact neighbors.
+        vel = np.sin(pts * 3.0) * 0.1
+        r_appr = _rigid(vel, idx[q], dist2[q], q)
+        r_exact = _rigid(vel, exact_idx, exact_d2, q)
+        err = abs(r_appr - r_exact) / max(r_exact, 1e-12)
+        bound = 1e-3 if span == 32768 else 0.05
+        assert err < bound, f"span={span}: rigid-loss error {err:.5f}"
+
+
+def test_knn_valid_mask_blocked():
+    """Padding rows (valid=False) are never returned as neighbors by the
+    blocked path, and live rows' neighbors match the exact dense path."""
+    rng = np.random.default_rng(1)
+    n_live, n_pad = 3000, 1096
+    pts = np.concatenate([
+        _clustered_cloud(rng, n_live),
+        np.zeros((n_pad, 3), np.float32)]).astype(np.float32)
+    valid = np.arange(len(pts)) < n_live
+
+    idx_b, d2_b = knn(jnp.asarray(pts), k=8, valid=jnp.asarray(valid),
+                      row_block=512)
+    idx_e, d2_e = knn(jnp.asarray(pts[:n_live]), k=8, exact=True)
+    idx_b, idx_e = np.asarray(idx_b), np.asarray(idx_e)
+    assert (idx_b[:n_live] < n_live).all()
+    # same neighbor sets (order ties can differ)
+    same = np.mean([set(a) == set(b) for a, b in zip(idx_b[:n_live], idx_e)])
+    assert same > 0.999
+    np.testing.assert_allclose(np.sort(np.asarray(d2_b)[:n_live], axis=1),
+                               np.sort(np.asarray(d2_e), axis=1),
+                               rtol=1e-3, atol=1e-6)
