@@ -68,7 +68,10 @@ def main():
                          time_duration=1.0)
     scene, cam, tgt = build_inputs(h=h, w=w)
     bg = jnp.zeros(3, jnp.float32)
-    capacity = 3 * 2 ** 19       # 1.5M tile instances
+    # 786k tile instances: the anisotropic opacity-aware rect keeps this
+    # workload at ~581k live instances (it needed 1.5M with the isotropic
+    # 3-sigma rect) — same headroom policy the trainer's budget probe uses.
+    capacity = 3 * 2 ** 18
     max_per_tile = 4096
     backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 

@@ -109,6 +109,10 @@ class TrainConfig:
     data_axis: int = 0                 # devices on the camera-batch mesh
     #                                    axis (0 = all available; sharding
     #                                    engages when batch_size divides)
+    strips: int = 1                    # horizontal strips per camera: one
+    #                                    large frame spreads over the mesh
+    #                                    (parallel/strips.py); loss math is
+    #                                    identical to full-frame training
     eval_interval: int = 500           # used when exhaust_test
 
 

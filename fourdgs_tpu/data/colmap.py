@@ -110,13 +110,18 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
-    for meta in lines[0::2]:  # every other line is the 2D point list
-        e = meta.split()
-        out[int(e[0])] = ColmapImage(
-            int(e[0]), np.array([float(v) for v in e[1:5]]),
-            np.array([float(v) for v in e[5:8]]), int(e[8]), e[9])
+        while True:
+            meta = f.readline()
+            if not meta:
+                break
+            meta = meta.strip()
+            if not meta or meta.startswith("#"):
+                continue
+            e = meta.split()
+            out[int(e[0])] = ColmapImage(
+                int(e[0]), np.array([float(v) for v in e[1:5]]),
+                np.array([float(v) for v in e[5:8]]), int(e[8]), e[9])
+            f.readline()  # the 2D point list — may be a blank line
     return out
 
 

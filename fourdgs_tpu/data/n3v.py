@@ -155,28 +155,149 @@ def write_transforms(path: str, test_cam_index: int = 0,
         json.dump({**meta, "frames": test_frames}, f, indent=2)
 
 
+# NeRF/Blender camera convention -> OpenCV (flip y/z), used when handing
+# the known poses to COLMAP (`n3v2blender.py:337`).
+BLENDER2OPENCV = np.diag([1.0, -1.0, -1.0, 1.0])
+
+
+def rotmat_to_qvec(r: np.ndarray) -> np.ndarray:
+    """World-to-cam rotation -> COLMAP (qw, qx, qy, qz) quaternion."""
+    qw = 0.5 * np.sqrt(max(1.0 + r[0, 0] + r[1, 1] + r[2, 2], 1e-12))
+    return np.array([
+        qw,
+        (r[2, 1] - r[1, 2]) / (4 * qw),
+        (r[0, 2] - r[2, 0]) / (4 * qw),
+        (r[1, 0] - r[0, 1]) / (4 * qw),
+    ])
+
+
+def write_known_pose_model(path: str, ws: str) -> list[str]:
+    """Write the COLMAP `created/sparse` text model (shared PINHOLE camera
+    + known w2c poses for the time==0 train frames + empty points3D) and
+    symlink those frames into `ws/images`. Pure file I/O — unit-testable
+    without the colmap binary. Mirrors `n3v2blender.py:338-370`.
+
+    Returns the frame file names registered in the model."""
+    with open(os.path.join(path, "transforms_train.json")) as f:
+        meta = json.load(f)
+    created = os.path.join(ws, "created", "sparse")
+    imgdir = os.path.join(ws, "images")
+    os.makedirs(created, exist_ok=True)
+    os.makedirs(imgdir, exist_ok=True)
+
+    with open(os.path.join(created, "cameras.txt"), "w") as f:
+        f.write(f"1 PINHOLE {int(meta['w'])} {int(meta['h'])} "
+                f"{meta['fl_x']} {meta['fl_y']} {meta['cx']} {meta['cy']}")
+
+    fnames = []
+    with open(os.path.join(created, "images.txt"), "w") as f:
+        idx = 1
+        for frame in meta["frames"]:
+            if frame["time"] != 0:
+                continue
+            stem = frame["file_path"].split("/")[-1]
+            fname = stem + ".png"
+            c2w = np.array(frame["transform_matrix"]) @ BLENDER2OPENCV
+            r = np.linalg.inv(c2w[:3, :3])
+            t = -r @ c2w[:3, 3]
+            q = rotmat_to_qvec(r)
+            f.write(f"{idx} {q[0]} {q[1]} {q[2]} {q[3]} "
+                    f"{t[0]} {t[1]} {t[2]} 1 {fname}\n\n")
+            src = os.path.abspath(os.path.join(path, "images", fname))
+            dst = os.path.join(imgdir, fname)
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            fnames.append(fname)
+            idx += 1
+
+    with open(os.path.join(created, "points3D.txt"), "w") as f:
+        f.write("")
+    return fnames
+
+
+def _set_db_cameras(db_path: str, cameras_txt: str) -> None:
+    """Overwrite the feature-extractor's auto-guessed intrinsics in the
+    COLMAP database with the known ones (`camTodatabase`,
+    `n3v2blender.py:130-200`): every image shares PINHOLE camera 1."""
+    import sqlite3
+
+    from .colmap import MODEL_NAME_TO_ID as models
+
+    conn = sqlite3.connect(db_path)
+    with open(cameras_txt) as f:
+        for line in f:
+            if not line.strip() or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id, model = int(parts[0]), models[parts[1]]
+            width, height = int(parts[2]), int(parts[3])
+            params = np.asarray(parts[4:], np.float64).tobytes()
+            conn.execute(
+                "UPDATE cameras SET model=?, width=?, height=?, params=?, "
+                "prior_focal_length=1 WHERE camera_id=?",
+                (model, width, height, params, cam_id))
+    conn.commit()
+    conn.close()
+
+
+def _colmap(*args: str) -> None:
+    subprocess.run(["colmap", *args], check=True, capture_output=True)
+
+
 def triangulate_points(path: str) -> bool:
-    """COLMAP known-pose triangulation + stereo fusion -> points3d.ply
-    (requires the external colmap binary; returns False if absent)."""
+    """COLMAP *known-pose* triangulation -> `points3d.ply`, mirroring
+    `n3v2blender.py:336-410`: feature extraction over the time-0 frames,
+    known intrinsics forced into the database, exhaustive matching,
+    `point_triangulator` against the created pose model, then dense
+    patch-match stereo + fusion. When the dense stage is unavailable
+    (no CUDA), falls back to exporting the triangulated sparse points.
+
+    Returns True only if `points3d.ply` was actually produced."""
     if shutil.which("colmap") is None:
         return False
-    # Known-pose pipeline: feature extraction -> matching -> point
-    # triangulation -> (optional) dense fusion, mirroring
-    # n3v2blender.py:336-410. Left to the colmap CLI.
     ws = os.path.join(path, "colmap_tmp")
-    os.makedirs(ws, exist_ok=True)
-    db = os.path.join(ws, "database.db")
-    imgs = os.path.join(path, "images")
-    subprocess.run(["colmap", "feature_extractor", "--database_path", db,
-                    "--image_path", imgs], check=True, capture_output=True)
-    subprocess.run(["colmap", "exhaustive_matcher", "--database_path", db],
-                   check=True, capture_output=True)
-    sparse = os.path.join(ws, "sparse")
-    os.makedirs(sparse, exist_ok=True)
-    subprocess.run(["colmap", "mapper", "--database_path", db,
-                    "--image_path", imgs, "--output_path", sparse],
-                   check=True, capture_output=True)
-    return True
+    out_ply = os.path.join(path, "points3d.ply")
+    try:
+        write_known_pose_model(path, ws)
+        db = os.path.join(ws, "database.db")
+        imgs = os.path.join(ws, "images")
+        created = os.path.join(ws, "created", "sparse")
+        tri = os.path.join(ws, "triangulated", "sparse")
+        os.makedirs(tri, exist_ok=True)
+        _colmap("feature_extractor", "--database_path", db,
+                "--image_path", imgs)
+        _set_db_cameras(db, os.path.join(created, "cameras.txt"))
+        _colmap("exhaustive_matcher", "--database_path", db)
+        _colmap("point_triangulator", "--database_path", db,
+                "--image_path", imgs, "--input_path", created,
+                "--output_path", tri)
+        try:
+            dense = os.path.join(ws, "dense")
+            os.makedirs(dense, exist_ok=True)
+            _colmap("image_undistorter", "--image_path", imgs,
+                    "--input_path", tri, "--output_path", dense)
+            _colmap("patch_match_stereo", "--workspace_path", dense)
+            _colmap("stereo_fusion", "--workspace_path", dense,
+                    "--output_path", out_ply)
+        except (subprocess.CalledProcessError, OSError):
+            # Dense stereo needs CUDA; export the sparse triangulation.
+            from .colmap import read_points3d
+            from .pointcloud import write_ply
+            xyz, rgb, _err = read_points3d(tri)
+            if xyz.shape[0] == 0:
+                return False
+            print("[n3v] dense stereo unavailable — writing sparse "
+                  f"triangulated points ({xyz.shape[0]})")
+            write_ply(out_ply, xyz, rgb)
+    except (subprocess.CalledProcessError, OSError) as exc:
+        print(f"[n3v] colmap triangulation failed: {exc}")
+        return False
+    finally:
+        shutil.rmtree(ws, ignore_errors=True)
+        vis = out_ply + ".vis"
+        if os.path.exists(vis):
+            os.remove(vis)
+    return os.path.exists(out_ply)
 
 
 def preprocess_n3v(path: str, test_cam_index: int = 0) -> None:

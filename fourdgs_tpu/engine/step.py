@@ -106,43 +106,72 @@ def build_step_fn(
     batch_size: int = 1,
     backend: str = "xla",
     fast_grad_reduce: bool = True,
+    strips: int = 1,
 ):
     """Build the (unjitted) train step for fixed static shapes. Use
     `make_train_step` for single-device jit or
-    `parallel.make_sharded_train_step` for a device mesh."""
+    `parallel.make_sharded_train_step` for a device mesh.
+
+    strips > 1 renders every camera as `strips` horizontal strip cameras
+    (principal-point shift, `parallel/strips.py`) — the camera axis of
+    `cams`/`intrinsics` has length batch_size*strips (camera-major) and
+    can be mesh-sharded so ONE large frame spreads over devices. The
+    strips are reassembled into full frames BEFORE the photometric loss,
+    so the training math (SSIM included) is identical to full-frame
+    training; only the render is sharded."""
     has_env = cfg.env_map_res > 0
+    if opts.height % strips != 0:
+        raise ValueError(f"height {opts.height} not divisible into "
+                         f"{strips} strips")
+    r_opts = (opts if strips == 1
+              else opts._replace(height=opts.height // strips))
 
     def loss_fn(params, env_tex, tap, gauss: GaussianState,
                 cams: CameraArrays, gt, alpha_mask, intrinsics, bg, step):
         act = activate(params, gauss.n_active)
         sh_mask = sh_annealing_mask(step, cfg, opts, act.sh.shape[1])
 
-        def render_one(cam: CameraArrays, gt_img, amask, tap_b, intr):
+        def render_one(cam: CameraArrays, tap_b, intr):
             out = render(
                 means3d=act.means3d, t=act.t, scales=act.scales,
                 scales_t=act.scales_t, rotations=act.rotations,
                 rotations_r=act.rotations_r, opacity=act.opacity,
                 sh=act.sh, active=act.active, camera=cam, bg=bg,
-                opts=opts, capacity=capacity, max_per_tile=max_per_tile,
+                opts=r_opts, capacity=capacity, max_per_tile=max_per_tile,
                 chunk=chunk, sh_mask=sh_mask, mean2d_tap=tap_b,
                 backend=backend, fast_grad_reduce=fast_grad_reduce)
             color = out.color
             if has_env:
+                # Sky compositing is pixel-local (rays from the shifted
+                # strip intrinsics), so it composes per strip.
                 color = envmap_lib.composite_sky(
                     color, out.alpha, env_tex, cam.viewmatrix, intr)
-            loss, l1, lssim = loss_lib.photometric_loss(
-                color, gt_img, cfg.lambda_dssim)
-            if cfg.lambda_opa_mask > 0:
-                loss = loss + cfg.lambda_opa_mask * loss_lib.opacity_mask_loss(
-                    out.alpha, amask)
-            aux = dict(l1=l1, lssim=lssim, visible=out.visible,
-                       radii=out.radii, num_rendered=out.num_rendered,
-                       max_per_tile=out.max_per_tile, color=color)
-            return loss, aux
+            return color, dict(visible=out.visible, radii=out.radii,
+                               num_rendered=out.num_rendered,
+                               max_per_tile=out.max_per_tile,
+                               alpha=out.alpha)
 
-        per_cam_loss, aux = jax.vmap(render_one)(
-            cams, gt, alpha_mask, tap, intrinsics)
+        color_s, aux = jax.vmap(render_one)(cams, tap, intrinsics)
+
+        # (B*strips, H/strips, W, 3) -> (B, H, W, 3): strips of one camera
+        # are contiguous (camera-major), so this is a pure reshape. Under a
+        # sharded camera axis XLA inserts the strip all-gather here and the
+        # matching scatter in the backward.
+        b = batch_size
+        color = color_s.reshape((b, opts.height) + color_s.shape[2:])
+        alpha_img = aux["alpha"].reshape((b, opts.height) + aux["alpha"].shape[2:])
+        aux["color"] = color
+
+        def frame_loss(color_f, gt_img):
+            return loss_lib.photometric_loss(color_f, gt_img,
+                                             cfg.lambda_dssim)
+
+        per_cam_loss, l1, lssim = jax.vmap(frame_loss)(color, gt)
+        aux["l1"], aux["lssim"] = l1, lssim
         loss = jnp.mean(per_cam_loss)
+        if cfg.lambda_opa_mask > 0:
+            loss = loss + cfg.lambda_opa_mask * jnp.mean(jax.vmap(
+                loss_lib.opacity_mask_loss)(alpha_img, alpha_mask))
 
         rigid = jnp.zeros(())
         motion = jnp.zeros(())
@@ -182,9 +211,10 @@ def build_step_fn(
 
     def step_fn(gauss: GaussianState, env, step, cams: CameraArrays,
                 gt, alpha_mask, intrinsics, bg):
-        """One optimizer step. All leading-B args are camera-batched."""
+        """One optimizer step. cams/intrinsics lead with B*strips; gt and
+        alpha_mask lead with B (full frames)."""
         p = gauss.params.xyz.shape[0]
-        tap = jnp.zeros((batch_size, p, 2), gauss.params.xyz.dtype)
+        tap = jnp.zeros((batch_size * strips, p, 2), gauss.params.xyz.dtype)
         env_tex = env.texture if has_env else None
 
         argnums = (0, 1, 2) if has_env else (0, 2)
@@ -198,7 +228,19 @@ def build_step_fn(
             (g_params, g_tap), g_env = grads, None
 
         # --- densification statistics (train.py:164-183, 231-238) ---------
-        vis = aux["visible"]                       # (B, P)
+        # Strip quantities fold to per-camera first: a camera saw a gaussian
+        # iff any of its strips did; its NDC tap gradient is the sum of the
+        # strip tap gradients, with the y component rescaled from strip-NDC
+        # (pixels = ndc*h_strip/2) back to full-frame NDC units so the
+        # densify thresholds keep the reference's scale.
+        vis = jnp.any(aux["visible"].reshape(batch_size, strips, p),
+                      axis=1)                      # (B, P)
+        g_tap = jnp.sum(g_tap.reshape(batch_size, strips, p, 2), axis=1)
+        if strips > 1:
+            g_tap = g_tap * jnp.asarray([1.0, float(strips)],
+                                        g_tap.dtype)
+            aux["radii"] = jnp.max(
+                aux["radii"].reshape(batch_size, strips, p), axis=1)
         vis_count = jnp.sum(vis.astype(jnp.int32), axis=0)
         visibility_filter = vis_count > 0
         denom = jnp.maximum(vis_count.astype(jnp.float32), 1.0)
@@ -245,7 +287,7 @@ def build_step_fn(
 
 def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
                     max_per_tile: int, chunk: int = 32, batch_size: int = 1,
-                    backend: str = "xla"):
+                    backend: str = "xla", strips: int = 1):
     """Single-device jitted train step.
 
     NOTE: no buffer donation — several state leaves can legitimately alias
@@ -253,4 +295,4 @@ def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
     checker rejects ("donate the same buffer twice")."""
     return jax.jit(build_step_fn(
         opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
-        chunk=chunk, batch_size=batch_size, backend=backend))
+        chunk=chunk, batch_size=batch_size, backend=backend, strips=strips))

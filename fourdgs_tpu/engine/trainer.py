@@ -256,12 +256,22 @@ class Trainer:
     def _batch_arrays(self, idx: List[int], train: bool = True):
         cams = [self.scene.train_cameras[i] if train
                 else self.scene.test_cameras[i] for i in idx]
-        arrays = stack_cameras(cams)
         white = self.cfg.model.white_background
         gts = list(self._io_pool.map(lambda c: fetch_gt(c, white), cams))
         gt = np.stack([g[0] for g in gts])
         alpha = np.stack([g[1] for g in gts])
-        intr = np.stack([camera_intrinsics(c) for c in cams])
+        n = self.cfg.strips
+        if n > 1:
+            # Camera-major strip expansion: cams/intr lead with B*n while
+            # gt/alpha stay full frames (engine/step.py reassembles the
+            # strips before the loss).
+            from ..parallel.strips import strip_cameras
+            strip_cams = [s for c in cams for s in strip_cameras(c, n)]
+            arrays = stack_cameras(strip_cams)
+            intr = np.stack([camera_intrinsics(s) for s in strip_cams])
+        else:
+            arrays = stack_cameras(cams)
+            intr = np.stack([camera_intrinsics(c) for c in cams])
         return arrays, gt, alpha, intr
 
     def _epoch_batches(self):
@@ -273,19 +283,22 @@ class Trainer:
 
     # ------------------------------------------------------- step builders
     def _build_step(self):
+        strips = self.cfg.strips
         kw = dict(capacity=self.inst_capacity,
                   max_per_tile=self.tile_capacity,
                   chunk=self.chunk,
                   batch_size=self.cfg.batch_size,
-                  backend=self.backend)
+                  backend=self.backend,
+                  strips=strips)
         n_dev = min(self.cfg.data_axis or len(jax.devices()),
                     len(jax.devices()))
-        if n_dev > 1 and self.cfg.batch_size % n_dev == 0:
-            # Data-parallel camera batch over the device mesh: cloud
-            # replicated, per-camera work sharded, grads all-reduced by
-            # XLA over ICI (parallel/mesh.py).
+        if n_dev > 1 and (self.cfg.batch_size * strips) % n_dev == 0:
+            # Data-parallel camera(-strip) batch over the device mesh:
+            # cloud replicated, per-camera/per-strip work sharded, grads
+            # all-reduced by XLA over ICI (parallel/mesh.py).
             from ..parallel import make_mesh, make_sharded_train_step
-            self.log(f"sharded train step over {n_dev} devices")
+            self.log(f"sharded train step over {n_dev} devices"
+                     + (f" ({strips} strips/frame)" if strips > 1 else ""))
             self._step_fn = make_sharded_train_step(
                 self.opts, self.step_cfg, make_mesh(n_dev), **kw)
         else:

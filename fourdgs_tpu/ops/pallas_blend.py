@@ -184,18 +184,23 @@ def _forward_kernel(cfg: PallasBlendConfig):
             valid = (in_range & (power <= 0.0)
                      & (alpha >= gm.ALPHA_MIN) & ~done)
 
+            # ONE log-space prefix matmul per chunk: q[j] = T after lane j
+            # is non-increasing along the sorted lane axis (every factor
+            # 1-a is in (0, 1]), so the first sub-T_EPS lane kills all
+            # later lanes too — "dead after first fail" IS the fail mask
+            # itself, and for surviving lanes the used-only prefix sum
+            # equals the all-valid prefix sum. The reference discovers the
+            # same boundary sequentially (forward.cu:592-596).
             a_v = jnp.where(valid, alpha, 0.0)
             lcv = jnp.log1p(-a_v)
-            q = t_tr * jnp.exp(_mm(lcv, tri_cum))
+            q = t_tr * jnp.exp(_mm(lcv, tri_cum))      # (256, K)
             fail = valid & (q < gm.T_EPS)
-            dead = _mm_fast(fail.astype(jnp.float32), tri_cum) > 0.0
-            used = valid & ~dead
-
-            a_u = jnp.where(dead, 0.0, a_v)
-            lcu = jnp.where(dead, 0.0, lcv)
-            s_incl = _mm(lcu, tri_cum)
-            prod_excl = jnp.exp(s_incl - lcu)
-            w = a_u * t_tr * prod_excl                 # (256, K)
+            used = valid & ~fail
+            a_u = jnp.where(fail, 0.0, a_v)
+            lcu = jnp.where(fail, 0.0, lcv)
+            # T before lane j = q[j] / (1 - a[j]) — a divide instead of a
+            # second exp (a_v <= 0.99 keeps the quotient well-conditioned).
+            w = a_u * q / (1.0 - a_v)                  # (256, K)
 
             # contrib[p, f] = sum_k w[p, k] * feat[f, k]: one MXU
             # contraction over the lane axis (rows 6..13 incl. padding).
@@ -270,9 +275,12 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
     return accum, t_final, ncon
 
 
+ZBLK = 8  # chunks per tail-zeroing DMA
+
+
 def _backward_kernel(cfg: PallasBlendConfig):
     def kernel(start_ref, count_ref, inst_hbm, cot_ref, grad_hbm,
-               scratch, gscratch, state_ref, sems, gsems):
+               scratch, gscratch, zscratch, state_ref, sems, gsems):
         t = pl.program_id(0)
         start = start_ref[t]
         count = count_ref[t]
@@ -287,6 +295,54 @@ def _backward_kernel(cfg: PallasBlendConfig):
         t_final = cot_ref[0, :, FEAT + 1: FEAT + 2]
         ncon = cot_ref[0, :, FEAT + 2: FEAT + 3]              # float ranks
 
+        # Saturation-aware trip count: no pixel used an instance ranked
+        # past max(ncon), so chunks beyond it carry exactly-zero gradients
+        # — skip their math and DMA-zero their gradient slices instead
+        # (the forward's early-exit bound, reused backwards).
+        max_rank = jnp.max(ncon).astype(jnp.int32)
+        eff = jnp.minimum(pl.cdiv(max_rank, CHUNK), nchunks)
+        tail_n = nchunks - eff
+
+        # Zero the tail slices [eff, nchunks) in ZBLK-chunk DMA blocks
+        # (the old full walk wrote computed zeros there; the bounded walk
+        # must write them explicitly — downstream grad-reduce reads every
+        # aligned slice). Runs before the compute loop so gsems pair up.
+        zscratch[:] = jnp.zeros((ROW, ZBLK * CHUNK), jnp.float32)
+
+        def zout(slot, c, width):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                zscratch.at[:, pl.ds(0, width * CHUNK)],
+                grad_hbm.at[:, pl.ds(off, width * CHUNK)],
+                gsems.at[slot])
+
+        nblk = tail_n // ZBLK
+
+        def zblk_body(b, carry):
+            @pl.when(b >= 2)
+            def _():
+                zout(b % 2, 0, ZBLK).wait()
+            zout(b % 2, eff + b * ZBLK, ZBLK).start()
+            return carry
+
+        jax.lax.fori_loop(0, nblk, zblk_body, 0)
+
+        @pl.when(nblk >= 2)
+        def _():
+            zout(nblk % 2, 0, ZBLK).wait()
+
+        @pl.when(nblk >= 1)
+        def _():
+            zout((nblk - 1) % 2, 0, ZBLK).wait()
+
+        def zrem_body(j, carry):
+            cpy = zout(0, eff + nblk * ZBLK + j, 1)
+            cpy.start()
+            cpy.wait()
+            return carry
+
+        jax.lax.fori_loop(0, tail_n - nblk * ZBLK, zrem_body, 0)
+
         def dma_in(slot, c):
             off = pl.multiple_of(start + c * CHUNK, CHUNK)
             return pltpu.make_async_copy(
@@ -300,9 +356,9 @@ def _backward_kernel(cfg: PallasBlendConfig):
                 grad_hbm.at[:, pl.ds(off, CHUNK)],
                 gsems.at[slot])
 
-        @pl.when(nchunks > 0)
+        @pl.when(eff > 0)
         def _():
-            dma_in(0, nchunks - 1).start()
+            dma_in(0, eff - 1).start()
 
         # state cols: [0] = running T (from the back), [1] = sigma.
         state_ref[:] = jnp.concatenate(
@@ -311,10 +367,10 @@ def _backward_kernel(cfg: PallasBlendConfig):
         def body(i, carry):
             t_run = state_ref[:, 0:1]
             sigma = state_ref[:, 1:2]
-            c = nchunks - 1 - i
+            c = eff - 1 - i
             slot = i % 2
 
-            @pl.when(i + 1 < nchunks)
+            @pl.when(i + 1 < eff)
             def _():
                 dma_in((i + 1) % 2, c - 1).start()
 
@@ -374,15 +430,15 @@ def _backward_kernel(cfg: PallasBlendConfig):
                 [t_out, sigma_out, jnp.zeros((PIX, 6), jnp.float32)], axis=1)
             return carry
 
-        jax.lax.fori_loop(0, nchunks, body, 0)
+        jax.lax.fori_loop(0, eff, body, 0)
 
-        @pl.when(nchunks >= 2)
+        @pl.when(eff >= 2)
         def _():
-            dma_out(nchunks % 2, 1).wait()
+            dma_out(eff % 2, 1).wait()
 
-        @pl.when(nchunks >= 1)
+        @pl.when(eff >= 1)
         def _():
-            dma_out((nchunks - 1) % 2, 0).wait()
+            dma_out((eff - 1) % 2, 0).wait()
 
     return kernel
 
@@ -406,6 +462,7 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((ROW, ZBLK * CHUNK), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

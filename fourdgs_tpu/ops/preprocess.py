@@ -158,17 +158,48 @@ def preprocess(
     conic, radius_f, conic_ok = gm.cov2d_to_conic_radius(cov2d)
 
     # --- tile rect (getRect semantics, auxiliary.h:47-57) ----------------
+    # The REPORTED radius and the visibility test keep the reference's
+    # isotropic ceil(3·sqrt(λmax)) footprint (densify stats and the
+    # `visible`/`radii` output contract depend on it). The rect actually
+    # handed to the binner is tightened render-exactly below.
     tx, ty = opts.tiles_x, opts.tiles_y
     r_int = radius_f.astype(jnp.int32)
     xi = xy[..., 0]
     yi = xy[..., 1]
-    x0 = jnp.clip(((xi - radius_f) / TILE).astype(jnp.int32), 0, tx)
-    y0 = jnp.clip(((yi - radius_f) / TILE).astype(jnp.int32), 0, ty)
-    x1 = jnp.clip(((xi + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tx)
-    y1 = jnp.clip(((yi + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, ty)
-    ntiles = (x1 - x0) * (y1 - y0)
+    x0r = jnp.clip(((xi - radius_f) / TILE).astype(jnp.int32), 0, tx)
+    y0r = jnp.clip(((yi - radius_f) / TILE).astype(jnp.int32), 0, ty)
+    x1r = jnp.clip(((xi + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tx)
+    y1r = jnp.clip(((yi + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, ty)
+    ntiles_ref = (x1r - x0r) * (y1r - y0r)
 
-    visible = active & marginal_ok & in_front & conic_ok & (ntiles > 0)
+    visible = active & marginal_ok & in_front & conic_ok & (ntiles_ref > 0)
+
+    # --- render-exact rect tightening ------------------------------------
+    # The blend kernels skip any instance with alpha < ALPHA_MIN at a
+    # pixel (forward.cu:589 semantics), so tiles where that holds for
+    # EVERY pixel contribute exactly nothing. alpha = op·exp(-Q/2) with
+    # Q the conic quadratic, so alpha >= ALPHA_MIN only inside the
+    # ellipse Q <= tau, tau = 2·ln(op/ALPHA_MIN), whose axis-aligned
+    # bounding box has half-extents sqrt(tau·Σxx), sqrt(tau·Σyy)
+    # (Schur: min_dy Q = dx²/Σxx). Replacing the isotropic radius with
+    # these per-axis, opacity-aware extents (capped by the reference
+    # radius so the footprint stays a subset) drops the all-invisible
+    # instances the reference's square rect still enumerates — the
+    # render and every gradient are bit-unchanged, only instance count
+    # and step time shrink.
+    tau = jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(op, 1e-12) * (1.0 / gm.ALPHA_MIN)), 0.0)
+    ex = jnp.minimum(jnp.sqrt(tau * jnp.maximum(cov2d[..., 0], 0.0))
+                     * 1.0001 + 0.01, radius_f)
+    ey = jnp.minimum(jnp.sqrt(tau * jnp.maximum(cov2d[..., 2], 0.0))
+                     * 1.0001 + 0.01, radius_f)
+    x0 = jnp.clip(((xi - ex) / TILE).astype(jnp.int32), x0r, x1r)
+    y0 = jnp.clip(((yi - ey) / TILE).astype(jnp.int32), y0r, y1r)
+    x1 = jnp.clip(((xi + ex + TILE - 1) / TILE).astype(jnp.int32), x0r, x1r)
+    y1 = jnp.clip(((yi + ey + TILE - 1) / TILE).astype(jnp.int32), y0r, y1r)
+    # op < ALPHA_MIN cannot pass the kernel's alpha floor anywhere
+    # (exp(power) <= 1 inside the valid power <= 0 region).
+    ntiles = jnp.where(op >= gm.ALPHA_MIN, (x1 - x0) * (y1 - y0), 0)
 
     # --- color -------------------------------------------------------------
     if colors_precomp is not None:

@@ -60,31 +60,40 @@ def make_sharded_train_step(
     chunk: int = 32,
     batch_size: int = 1,
     backend: str = "xla",
+    strips: int = 1,
 ):
-    """Jit the train step over `mesh` with the camera batch sharded on the
-    data axis and all cloud state replicated. Requires batch_size to be a
-    multiple of the mesh size."""
+    """Jit the train step over `mesh` with the camera(-strip) batch sharded
+    on the data axis and all cloud state replicated. Requires
+    batch_size*strips to be a multiple of the mesh size.
+
+    With strips > 1 each camera renders as `strips` horizontal strips
+    (one large frame spreads over devices, SURVEY §5.8's pixel sharding);
+    gt/alpha stay full frames and are replicated — the strip images
+    all-gather (a few MB over ICI) for the full-frame loss, which keeps
+    the training math identical to the single-device step."""
     n_dev = mesh.devices.size
-    if batch_size % n_dev != 0:
+    if (batch_size * strips) % n_dev != 0:
         raise ValueError(
-            f"batch_size {batch_size} not divisible by mesh size {n_dev}")
+            f"batch_size*strips {batch_size * strips} not divisible by "
+            f"mesh size {n_dev}")
 
     step_fn = build_step_fn(
         opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
-        chunk=chunk, batch_size=batch_size, backend=backend)
+        chunk=chunk, batch_size=batch_size, backend=backend, strips=strips)
 
     rep = replicate(mesh)
     bat = shard_batch(mesh)
     cam_shard = CameraArrays(*([bat] * len(CameraArrays._fields)))
+    frame = bat if strips == 1 else rep    # gt/alpha lead with B, not B*n
 
     in_shardings = (
         rep,          # gauss state
         rep,          # env state (or None)
         rep,          # step
-        cam_shard,    # cameras (leading B)
-        bat,          # gt images
-        bat,          # alpha masks
-        bat,          # intrinsics
+        cam_shard,    # cameras (leading B*strips)
+        frame,        # gt images (leading B)
+        frame,        # alpha masks (leading B)
+        bat,          # intrinsics (leading B*strips)
         rep,          # bg
     )
     out_shardings = (rep, rep, rep)

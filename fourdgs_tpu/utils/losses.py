@@ -43,25 +43,36 @@ def _gaussian_kernel1d(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jax.Array, window_size: int, sigma: float) -> jax.Array:
-    """Depthwise separable gaussian blur, zero 'same' padding.
-
-    img: (B, H, W, C).
-    """
-    c = img.shape[-1]
-    k = jnp.asarray(_gaussian_kernel1d(window_size, sigma))
-    kh = jnp.tile(k.reshape(window_size, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(k.reshape(1, window_size, 1, 1), (1, 1, 1, c))
-    dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
+@functools.lru_cache(maxsize=16)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix B with B[i, j] = g[j - i + pad]: B @ x is the
+    1D 'same'-zero-padded gaussian blur along an n-length axis."""
+    g = _gaussian_kernel1d(window_size, sigma)
     pad = window_size // 2
-    out = jax.lax.conv_general_dilated(
-        img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    out = jax.lax.conv_general_dilated(
-        out, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c)
-    return out
+    m = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for o in range(-pad, pad + 1):
+        j = idx + o
+        ok = (j >= 0) & (j < n)
+        m[idx[ok], j[ok]] = g[o + pad]
+    return m
+
+
+def _blur(img: jax.Array, window_size: int, sigma: float) -> jax.Array:
+    """Separable gaussian blur, zero 'same' padding. img: (B, H, W, C).
+
+    Each 1D pass is a banded-matrix contraction on the MXU rather than a
+    depthwise conv: with C=3 channels on the lane axis a grouped NHWC conv
+    uses 3/128 of the vector unit, while the (H, H)/(W, W) band matmuls
+    run at full systolic-array rate (f32-exact via HIGHEST — SSIM values
+    are oracle-compared at 1e-5)."""
+    _, h, w, _ = img.shape
+    bh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    out = jnp.einsum("hk,bkwc->bhwc", bh, img, **kw)
+    return jnp.einsum("wk,bhkc->bhwc", bw, out, **kw)
 
 
 def _ssim_maps(img1, img2, window_size, sigma):

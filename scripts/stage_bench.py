@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Per-stage timing of the render pipeline at bench shape (one chip).
+
+Each stage runs inside ONE jitted lax.scan over `ITERS` data-dependent
+iterations (per-iter input perturbation → no cross-call result caching,
+amortized tunnel dispatch). Prints ms/iter per stage.
+
+Usage: python scripts/stage_bench.py [stage ...]
+  stages: pre bin inst fwdk full bwd reduce  (default: all)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax.numpy as jnp
+
+from bench import build_inputs
+from fourdgs_tpu.ops import binning, pallas_blend
+from fourdgs_tpu.ops import preprocess as pre
+from fourdgs_tpu.ops.preprocess import RenderOptions
+from fourdgs_tpu.render import render
+from fourdgs_tpu.utils.losses import photometric_loss
+
+ITERS = 8
+H = W = 800
+CAPACITY = 3 * 2 ** 18
+OPTS = RenderOptions(height=H, width=W, gaussian_dim=4, rot_4d=True,
+                     time_duration=1.0)
+
+
+def timed(name, fn, *args):
+    out = jax.block_until_ready(fn(*args))   # compile + warm
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    dt = (time.perf_counter() - t0) / ITERS * 1e3
+    print(f"{name:28s} {dt:8.2f} ms/iter")
+    return out
+
+
+def main():
+    stages = set(sys.argv[1:]) or {"pre", "bin", "inst", "fwdk", "loss",
+                                   "full", "bwd", "reduce"}
+    scene, cam, tgt = build_inputs(h=H, w=W)
+    camarr = pre.CameraArrays(**cam) if isinstance(cam, dict) else cam
+    bg = jnp.zeros(3, jnp.float32)
+
+    diff_keys = ("means3d", "t", "scales", "scales_t", "rotations",
+                 "rotations_r", "opacity", "sh")
+    diff = {k: scene[k] for k in diff_keys}
+    aux = {k: scene[k] for k in scene if k not in diff_keys}
+
+    # ---- stage: preprocess fwd ----
+    if "pre" in stages:
+        @jax.jit
+        def run_pre(scene):
+            def body(c, i):
+                proc = pre.preprocess(
+                    **{**scene, "means3d": scene["means3d"] + c * 1e-6},
+                    camera=camarr, opts=OPTS)
+                return jnp.sum(proc.depth) * 1e-20, proc.radius.sum()
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("preprocess fwd", run_pre, scene)
+
+    proc0 = jax.jit(lambda s: pre.preprocess(**s, camera=camarr,
+                                             opts=OPTS))(scene)
+    proc0 = jax.block_until_ready(proc0)
+
+    # ---- stage: aligned binning ----
+    if "bin" in stages:
+        @jax.jit
+        def run_bin(proc):
+            def body(c, i):
+                p2 = proc._replace(depth=proc.depth + c * 1e-6)
+                ab = binning.bin_gaussians_aligned(
+                    p2, OPTS, CAPACITY, pallas_blend.CHUNK)
+                return jnp.float32(ab.num_rendered) * 1e-20, ab.max_per_tile
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("binning (aligned)", run_bin, proc0)
+
+    abins0 = jax.jit(lambda p: binning.bin_gaussians_aligned(
+        p, OPTS, CAPACITY, pallas_blend.CHUNK))(proc0)
+    abins0 = jax.block_until_ready(abins0)
+    feat0 = jnp.concatenate(
+        [proc0.rgb, proc0.depth[:, None], proc0.flow], axis=-1)
+
+    # ---- stage: instance build ----
+    if "inst" in stages:
+        @jax.jit
+        def run_inst(proc, abins, feat):
+            def body(c, i):
+                inst = pallas_blend._build_inst_data(
+                    proc.xy + c * 1e-6, proc.conic, proc.opacity, feat,
+                    abins)
+                return jnp.sum(inst[0, ::4096]) * 1e-20, inst[0, 0]
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("instance build", run_inst, proc0, abins0, feat0)
+
+    pcfg = pallas_blend.PallasBlendConfig(
+        height=H, width=W, tiles_x=OPTS.tiles_x, tiles_y=OPTS.tiles_y)
+    inst0 = jax.jit(pallas_blend._build_inst_data)(
+        proc0.xy, proc0.conic, proc0.opacity, feat0, abins0)
+    inst0 = jax.block_until_ready(inst0)
+
+    # ---- stage: forward kernel ----
+    if "fwdk" in stages:
+        @jax.jit
+        def run_fwdk(inst, abins):
+            def body(c, i):
+                accum, t_final, ncon = pallas_blend.blend_forward_pallas(
+                    pcfg, inst.at[5].mul(1.0 + c * 1e-7),
+                    abins.tile_start, abins.tile_count)
+                return jnp.sum(t_final[::16, ::16]) * 1e-20, accum[0, 0, 0]
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("forward kernel", run_fwdk, inst0, abins0)
+
+    # ---- stage: backward kernel ----
+    if "bwd" in stages:
+        accum, t_final, ncon = jax.block_until_ready(
+            jax.jit(pallas_blend.blend_forward_pallas, static_argnums=0)(
+                pcfg, inst0, abins0.tile_start, abins0.tile_count))
+        cot = jnp.concatenate([
+            jnp.ones((OPTS.num_tiles, 256, 7), jnp.float32),
+            t_final[..., None], ncon.astype(jnp.float32)[..., None],
+            jnp.zeros((OPTS.num_tiles, 256, 7), jnp.float32)], axis=-1)
+
+        @jax.jit
+        def run_bwdk(inst, abins, cot):
+            def body(c, i):
+                eg = pallas_blend.blend_backward_pallas(
+                    pcfg, inst.at[5].mul(1.0 + c * 1e-7),
+                    abins.tile_start, abins.tile_count, cot)
+                return jnp.sum(eg[0, ::4096]) * 1e-20, eg[0, 0]
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("backward kernel", run_bwdk, inst0, abins0, cot)
+
+        # ---- stage: grad reduce ----
+        if "reduce" in stages:
+            eg0 = jax.block_until_ready(jax.jit(
+                pallas_blend.blend_backward_pallas, static_argnums=0)(
+                    pcfg, inst0, abins0.tile_start, abins0.tile_count, cot))
+
+            @jax.jit
+            def run_reduce(eg, abins):
+                def body(c, i):
+                    rows = jnp.swapaxes(eg, 0, 1)[:, :10]
+                    rows = (rows + c * 1e-9).astype(jnp.bfloat16)
+                    pg = binning.aligned_entry_grads_to_gaussian_grads(
+                        rows, abins, capacity=abins.aligned_pos.shape[0])
+                    return jnp.sum(pg[::512, 0]).astype(jnp.float32) * 1e-20, pg[0, 0]
+                return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+            # Measured (v5e, 1.5M capacity): this row-major form 15.1
+            # ms/iter vs 17.8 for a field-major lane-gather/lane-cumsum
+            # variant — the row gather wins despite the 10->128 lane pad.
+            timed("grad reduce (bf16 rows)", run_reduce, eg0, abins0)
+
+    # ---- stage: photometric loss alone (SSIM + L1 on images) ----
+    if "loss" in stages:
+        img0 = jnp.zeros((H, W, 3), jnp.float32)
+
+        @jax.jit
+        def run_loss(img, tgt):
+            def body(c, i):
+                l, g = jax.value_and_grad(
+                    lambda im: photometric_loss(im + c * 1e-6, tgt)[0])(img)
+                return l * 1e-20, g[0, 0, 0]
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("photometric loss f+b", run_loss, img0, tgt)
+
+    # ---- stage: full fwd / fwd+bwd ----
+    if "full" in stages:
+        def loss_fn(diff, aux, eps):
+            out = render(**{**diff, "means3d": diff["means3d"] + eps},
+                         **aux, camera=camarr, bg=bg, opts=OPTS,
+                         capacity=CAPACITY, max_per_tile=4096, chunk=32,
+                         backend="pallas", fast_grad_reduce=True)
+            loss, _, _ = photometric_loss(out.color, tgt)
+            return loss
+
+        @jax.jit
+        def run_fullf(diff, aux):
+            def body(c, i):
+                loss = loss_fn(diff, aux, c * 1e-6)
+                return loss * 1e-20, loss
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("full forward", run_fullf, diff, aux)
+
+        @jax.jit
+        def run_fullfb(diff, aux):
+            def body(c, i):
+                loss, g = jax.value_and_grad(
+                    lambda d: loss_fn(d, aux, c * 1e-6))(diff)
+                return loss * 1e-20, g["opacity"][0]
+            return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        timed("full fwd+bwd", run_fullfb, diff, aux)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,84 @@ def test_n3v_pose_conversion(tmp_path, rng):
     assert train["frames"][1]["time"] == 1 / 30.0
 
 
+def test_n3v_known_pose_model(tmp_path, rng):
+    """write_known_pose_model emits a COLMAP text model whose w2c
+    quaternions/translations invert the blender-convention c2w poses
+    (reference n3v2blender.py:338-370), restricted to time-0 frames."""
+    from fourdgs_tpu.data import colmap as cm
+
+    os.makedirs(tmp_path / "images")
+    frames, c2ws = [], {}
+    for cam in range(3):
+        theta = 2 * np.pi * cam / 3
+        z = np.array([np.sin(theta), 0.1, np.cos(theta)])
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0, 1.0, 0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = x, y, z
+        c2w[:3, 3] = 3.0 * z
+        for f in range(2):
+            stem = f"cam{cam:02d}_{f:04d}"
+            (tmp_path / "images" / f"{stem}.png").write_bytes(b"")
+            frames.append({"file_path": f"images/{stem}",
+                           "transform_matrix": c2w.tolist(),
+                           "time": f / 30.0})
+        c2ws[f"cam{cam:02d}_0000.png"] = c2w
+    meta = {"w": 64, "h": 48, "fl_x": 50.0, "fl_y": 50.0,
+            "cx": 32, "cy": 24, "frames": frames}
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+
+    ws = tmp_path / "ws"
+    fnames = n3v.write_known_pose_model(str(tmp_path), str(ws))
+    assert fnames == sorted(c2ws)            # only time-0 frames
+    assert (ws / "created" / "sparse" / "points3D.txt").read_text() == ""
+    cams = cm.read_cameras_text(str(ws / "created" / "sparse" /
+                                    "cameras.txt"))
+    assert cams[1].model == "PINHOLE" and cams[1].width == 64
+
+    imgs = cm.read_images_text(str(ws / "created" / "sparse" /
+                                   "images.txt"))
+    assert len(imgs) == 3
+    for rec in imgs.values():
+        c2w = c2ws[rec.name] @ n3v.BLENDER2OPENCV
+        r_expect = np.linalg.inv(c2w[:3, :3])
+        t_expect = -r_expect @ c2w[:3, 3]
+        np.testing.assert_allclose(cm.qvec2rotmat(rec.qvec), r_expect,
+                                   atol=1e-8)
+        np.testing.assert_allclose(rec.tvec, t_expect, atol=1e-8)
+        assert (ws / "images" / rec.name).is_symlink()
+
+
+def test_n3v_triangulate_honest_failure(tmp_path, monkeypatch):
+    """triangulate_points returns False (and cleans its workspace) when
+    colmap is missing or fails — never a blind True (reference writes
+    points3d.ply or dies, n3v2blender.py:404-410)."""
+    import shutil as _shutil
+    import subprocess as _sp
+
+    # colmap absent
+    monkeypatch.setattr(n3v.shutil, "which", lambda _: None)
+    assert n3v.triangulate_points(str(tmp_path)) is False
+
+    # colmap "present" but its invocations fail
+    os.makedirs(tmp_path / "images")
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump({"w": 8, "h": 8, "fl_x": 4.0, "fl_y": 4.0, "cx": 4,
+                   "cy": 4, "frames": []}, f)
+    monkeypatch.setattr(n3v.shutil, "which", lambda _: "/usr/bin/colmap")
+
+    def boom(*a, **k):
+        raise _sp.CalledProcessError(1, a)
+
+    monkeypatch.setattr(n3v.subprocess, "run", boom)
+    assert n3v.triangulate_points(str(tmp_path)) is False
+    assert not (tmp_path / "colmap_tmp").exists()
+    assert not (tmp_path / "points3d.ply").exists()
+
+
 def test_native_knn3_exact(rng):
     from fourdgs_tpu import native
     pts = rng.normal(size=(800, 3)).astype(np.float32)

@@ -52,6 +52,58 @@ def test_sharded_step_matches_single_device(rng):
                                np.asarray(g2.xyz_grad_accum), atol=1e-5)
 
 
+def test_strips_step_matches_full_frame(rng):
+    """strips=4 (one camera as 4 mesh-sharded strip renders, full-frame
+    loss after reassembly) must reproduce the full-frame step: same loss,
+    same parameter update, same densify stats (incl. the strip->frame NDC
+    tap-gradient rescale in engine/step.py)."""
+    from fourdgs_tpu.engine.trainer import camera_intrinsics
+    from fourdgs_tpu.parallel.strips import strip_cameras
+
+    n = 4
+    opts = RenderOptions(height=64, width=32, gaussian_dim=4, rot_4d=True,
+                         time_duration=1.0)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    pts[:, 2] += 4.0
+    gauss = init_from_pcd(pts, rng.random((64, 3)).astype(np.float32),
+                          sh_channels=48, capacity=128)
+    cam = Camera(uid=0, rot=np.eye(3), trans=np.zeros(3), fovx=1.0,
+                 fovy=1.0, width=32, height=64, timestamp=0.3)
+    gt = jnp.asarray(rng.random((1, 64, 32, 3)), jnp.float32)
+    alpha = jnp.ones((1, 64, 32), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+
+    full_arrays = jax.tree.map(jnp.asarray, stack_cameras([cam]))
+    full_intr = jnp.asarray([camera_intrinsics(cam)])
+    scams = strip_cameras(cam, n)
+    strip_arrays = jax.tree.map(jnp.asarray, stack_cameras(scams))
+    strip_intr = jnp.asarray(np.stack([camera_intrinsics(s)
+                                       for s in scams]))
+
+    kw = dict(capacity=4096, max_per_tile=256, chunk=16, batch_size=1)
+    single = make_train_step(opts, CFG, **kw)
+    g1, _, m1 = single(gauss, None, jnp.int32(1), full_arrays, gt, alpha,
+                       full_intr, bg)
+
+    for step_fn in (
+            make_train_step(opts, CFG, strips=n, **kw),
+            make_sharded_train_step(opts, CFG, make_mesh(n), strips=n,
+                                    **kw)):
+        g2, _, m2 = step_fn(gauss, None, jnp.int32(1), strip_arrays, gt,
+                            alpha, strip_intr, bg)
+        np.testing.assert_allclose(float(m1.loss), float(m2.loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m1.psnr), float(m2.psnr),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1.params.xyz),
+                                   np.asarray(g2.params.xyz), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1.xyz_grad_accum),
+                                   np.asarray(g2.xyz_grad_accum),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1.max_radii2d),
+                                   np.asarray(g2.max_radii2d), atol=1e-4)
+
+
 def test_sharded_step_rejects_bad_batch(rng):
     mesh = make_mesh(8)
     try:
