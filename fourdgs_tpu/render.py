@@ -96,3 +96,20 @@ def render(
         color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
         radii=proc.radius, visible=proc.visible,
         num_rendered=num_rendered, max_per_tile=mpt, cov3d_com=proc.cov3d)
+
+
+def mark_visible(means3d: jax.Array, viewmatrix: jax.Array,
+                 projmatrix: jax.Array | None = None) -> jax.Array:
+    """Standalone frustum-visibility query: True where the point sits in
+    front of the near plane (view-space z > 0.2).
+
+    API-parity with `GaussianRasterizer.markVisible`
+    (`gaussian_renderer/diff_gaussian_rasterization.py:252-261` →
+    `rasterize_points.cu:272-291`): the reference's `in_frustum`
+    (`auxiliary.h:140-163`) accepts the projection matrix but its NDC
+    bound check is commented out, so only the z test applies — we keep
+    the same signature and the same semantics. Jittable; (P, 3) -> (P,)
+    bool."""
+    del projmatrix  # accepted for signature parity; unused (see docstring)
+    from .ops import gaussmath as gm
+    return gm.view_z(means3d, viewmatrix) > gm.NEAR_PLANE

