@@ -444,6 +444,13 @@ class Trainer:
             self.log(f"cloud capacity -> {self.gauss.params.xyz.shape[0]}")
             self._step_fn = None
             self._eval_fn = None
+        else:
+            needed = int(info.n_needed)
+            capacity = self.gauss.params.xyz.shape[0]
+            if needed > capacity:
+                self.log(f"WARNING: densify needs {needed} points but "
+                         f"capacity growth stalled at {capacity}; new "
+                         "points beyond capacity were dropped this event")
         self.gauss = new_gauss
         return info
 

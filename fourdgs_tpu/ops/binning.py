@@ -134,15 +134,24 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
     cells = jnp.concatenate([
         gy0 * gw + gx0, gy0 * gw + gx1, gy1 * gw + gx0, gy1 * gw + gx1])
     signs = jnp.concatenate([included, -included, -included, included])
-    diff = jnp.zeros(((tiles_y + 1) * gw,), jnp.int32).at[cells].add(
-        signs, mode="drop")
+    # Stencil accumulation by sort + prefix-sum differences at cell
+    # boundaries instead of a 4P-element collision scatter-add (profiled
+    # 2.7 ms at P=100k; the scatter-add path is pathological on TPU).
+    ncells = (tiles_y + 1) * gw
+    cells_s, signs_s = jax.lax.sort((cells, signs), num_keys=1)
+    csum_s = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(signs_s)])
+    bounds = jnp.searchsorted(
+        cells_s, jnp.arange(ncells + 1, dtype=jnp.int32), side="left")
+    diff = csum_s[bounds[1:]] - csum_s[bounds[:-1]]
     counts2d = jnp.cumsum(jnp.cumsum(
         diff.reshape(tiles_y + 1, gw), axis=0), axis=1)
     counts = counts2d[:tiles_y, :tiles_x].reshape(-1)
     pad = (-counts) % k                              # per-tile dummy count
+    sums = jnp.cumsum(counts + pad, dtype=jnp.int32)
     aligned_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts + pad, dtype=jnp.int32)[:-1]])
+        [jnp.zeros((1,), jnp.int32), sums[:-1]])
+    total_len = sums[-1]        # live aligned region (tiles' ranges end)
 
     # Dummy block: K candidate dummies per tile, the first pad[t] live.
     dummy_t = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 0)
@@ -161,11 +170,20 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
         (all_tile, all_depth, all_gid, all_slot), num_keys=2,
         is_stable=True)
 
-    # Inverse permutation for the gradient reduce: a single-column int
-    # scatter (cheap; the pathological case is multi-column row scatters).
-    aligned_pos = jnp.full((capacity,), rp, jnp.int32).at[
-        jnp.minimum(slot_s, capacity)].set(
-            jnp.arange(rp, dtype=jnp.int32), mode="drop")
+    # Inverse permutation for the gradient reduce via a SECOND sort:
+    # slot_s is a permutation of [0, rp) (dummies own slots >= capacity),
+    # so sorting (slot_s, position) by slot_s puts each slot's aligned
+    # position at index slot — the live prefix [:capacity] is the inverse
+    # map. (Profiled: the equivalent single-column .at[slot_s].set scatter
+    # costs 5.1 ms at 786k capacity; this sort ~1.5 ms.) Positions past
+    # `total_len` sit beyond every tile's range — the backward kernel
+    # never writes there — so truncated/padding slots map to the `rp`
+    # sentinel, which the gradient reduce masks to zero (the old scatter
+    # let truncated slots read unwritten memory during overflow steps).
+    q_iota = jnp.arange(rp, dtype=jnp.int32)
+    _, aligned_pos_full = jax.lax.sort(
+        (slot_s, jnp.where(q_iota < total_len, q_iota, rp)), num_keys=1)
+    aligned_pos = aligned_pos_full[:capacity]
 
     return AlignedBins(
         gauss_id=gid_s,

@@ -44,7 +44,9 @@ PIX = TILE * TILE      # 256
 FEAT = 6               # rgb + depth + flow2
 ROW = 16               # field rows (padded)
 CHUNK = 128            # K — lane width; also the tile range alignment
-OUT_COLS = 16          # accum(6) + T_final + n_contrib (+ padding)
+OUT_COLS = 8           # accum(6) + T_final + n_contrib — exactly 8 lanes
+#                        (16 cols doubled the kernel-output HBM traffic
+#                        and the downstream slicing fusions for nothing)
 
 
 class PallasBlendConfig(NamedTuple):
@@ -238,8 +240,8 @@ def _forward_kernel(cfg: PallasBlendConfig):
             dma(c_stop % 2, c_stop).wait()
 
         out_ref[0] = jnp.concatenate([
-            acc_ref[:, 0:FEAT], state_ref[:, 0:1], state_ref[:, 2:3],
-            jnp.zeros((PIX, OUT_COLS - FEAT - 2), jnp.float32)], axis=1)
+            acc_ref[:, 0:FEAT], state_ref[:, 0:1], state_ref[:, 2:3]],
+            axis=1)
 
     return kernel
 
@@ -248,7 +250,9 @@ def _forward_kernel(cfg: PallasBlendConfig):
 def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
                          tile_start: jax.Array, tile_count: jax.Array):
     """inst_data: (16, Rp) field-major aligned layout. Returns
-    (accum (T, 256, 6), t_final (T, 256), ncontrib (T, 256) i32)."""
+    (accum (T, 256, 6), t_final (T, 256), ncontrib (T, 256) i32, and the
+    raw (T, 256, 8) kernel output — the backward kernel consumes it
+    directly, so saving it as a residual skips re-assembling T/ncon)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
@@ -272,15 +276,16 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
     accum = out[:, :, 0:FEAT]
     t_final = out[:, :, FEAT]
     ncon = out[:, :, FEAT + 1].astype(jnp.int32)
-    return accum, t_final, ncon
+    return accum, t_final, ncon, out
 
 
 ZBLK = 8  # chunks per tail-zeroing DMA
 
 
 def _backward_kernel(cfg: PallasBlendConfig):
-    def kernel(start_ref, count_ref, inst_hbm, cot_ref, grad_hbm,
-               scratch, gscratch, zscratch, state_ref, sems, gsems):
+    def kernel(start_ref, count_ref, inst_hbm, fwdout_ref, dcot_ref,
+               grad_hbm, scratch, gscratch, zscratch, state_ref, sems,
+               gsems):
         t = pl.program_id(0)
         start = start_ref[t]
         count = count_ref[t]
@@ -289,11 +294,13 @@ def _backward_kernel(cfg: PallasBlendConfig):
         tri_suf = _tri_suf_incl()
         tri_suf_x = _tri_suf_excl()
 
-        # cot block (1, 256, 16): cols = dc(6) + tf_term + t_final + ncon.
-        dc_cols = cot_ref[0, :, 0:FEAT]                       # (256, 6)
-        tf_term = cot_ref[0, :, FEAT: FEAT + 1]
-        t_final = cot_ref[0, :, FEAT + 1: FEAT + 2]
-        ncon = cot_ref[0, :, FEAT + 2: FEAT + 3]              # float ranks
+        # dcot block (1, 256, 8): cols = dc(6) + tf_term + pad; T_final
+        # and ncon come straight from the forward kernel's saved output
+        # block (no XLA-side reassembly).
+        dc_cols = dcot_ref[0, :, 0:FEAT]                      # (256, 6)
+        tf_term = dcot_ref[0, :, FEAT: FEAT + 1]
+        t_final = fwdout_ref[0, :, FEAT: FEAT + 1]
+        ncon = fwdout_ref[0, :, FEAT + 1: FEAT + 2]           # float ranks
 
         # Saturation-aware trip count: no pixel used an instance ranked
         # past max(ncon), so chunks beyond it carry exactly-zero gradients
@@ -446,8 +453,9 @@ def _backward_kernel(cfg: PallasBlendConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
                           tile_start: jax.Array, tile_count: jax.Array,
-                          cotangents: jax.Array):
-    """cotangents: (T, 256, 16) = [dc(6), tf_term, t_final, ncon, pad...].
+                          fwd_out: jax.Array, dcot: jax.Array):
+    """fwd_out: the forward kernel's raw (T, 256, 8) output (carries
+    T_final + ncon). dcot: (T, 256, 8) = [dc(6), tf_term, pad].
     Returns per-instance gradient rows, field-major (16, Rp)."""
     rp = inst_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -455,6 +463,8 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         grid=(cfg.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -474,7 +484,7 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         grid_spec=grid_spec,
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_data, cotangents)
+    )(tile_start, tile_count, inst_data, fwd_out, dcot)
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +517,7 @@ def _blend_pallas_forward(cfg, xy, conic, opacity, feat, bg, abins):
     from .blend import BlendConfig, _tiles_to_image
 
     inst = _build_inst_data(xy, conic, opacity, feat, abins)
-    accum, t_final, ncon = blend_forward_pallas(
+    accum, t_final, ncon, raw = blend_forward_pallas(
         cfg, inst, abins.tile_start, abins.tile_count)
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
@@ -523,10 +533,11 @@ def _blend_pallas_fwd(cfg, xy, conic, opacity, feat, bg, abins):
     from .blend import BlendConfig, _tiles_to_image
 
     # Mirrors _blend_pallas_forward but keeps the gathered instance data
-    # as a residual (recomputing the (Rp, 16) gather in the backward costs
-    # ~10 ms at 800x800).
+    # and the raw kernel output as residuals (recomputing the (Rp, 16)
+    # gather in the backward costs ~10 ms at 800x800; the raw output
+    # carries T_final + ncon for the backward kernel as-is).
     inst = _build_inst_data(xy, conic, opacity, feat, abins)
-    accum, t_final, ncon = blend_forward_pallas(
+    accum, t_final, ncon, raw = blend_forward_pallas(
         cfg, inst, abins.tile_start, abins.tile_count)
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
@@ -536,14 +547,15 @@ def _blend_pallas_fwd(cfg, xy, conic, opacity, feat, bg, abins):
     flow = _tiles_to_image(accum[..., 4:6], bc)
     alpha = _tiles_to_image(1.0 - t_final, bc)
     out = (color, depth, flow, alpha)
-    return out, (inst, bg, abins, t_final, ncon)
+    return out, (inst, bg, abins, raw)
 
 
 def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     from .binning import aligned_entry_grads_to_gaussian_grads
     from .blend import BlendConfig, _image_to_tiles
 
-    inst, bg, abins, t_final, ncon = res
+    inst, bg, abins, raw = res
+    t_final = raw[:, :, FEAT]
     d_color, d_depth, d_flow, d_alpha = cots
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
@@ -558,16 +570,14 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     tf_term = dt_total * t_final
     d_bg = jnp.einsum("tp,tpc->c", t_final, dc[..., 0:3])
 
-    cot = jnp.concatenate([
+    dcot = jnp.concatenate([
         dc,
         tf_term[..., None],
-        t_final[..., None],
-        ncon.astype(jnp.float32)[..., None],
-        jnp.zeros(dc.shape[:2] + (OUT_COLS - FEAT - 3,), jnp.float32),
-    ], axis=-1)                                   # (T, 256, 16)
+        jnp.zeros(dc.shape[:2] + (OUT_COLS - FEAT - 1,), jnp.float32),
+    ], axis=-1)                                   # (T, 256, 8)
 
     entry_grads = blend_backward_pallas(
-        cfg, inst, abins.tile_start, abins.tile_count, cot)
+        cfg, inst, abins.tile_start, abins.tile_count, raw, dcot)
     # Only 10 of the 12 gradient rows matter downstream: the flow feature
     # is a zeros CONSTANT in training (`gaussian_renderer/__init__.py:119`
     # parity), so its cotangent is discarded by AD.

@@ -113,7 +113,7 @@ def main():
         @jax.jit
         def run_fwdk(inst, abins):
             def body(c, i):
-                accum, t_final, ncon = pallas_blend.blend_forward_pallas(
+                accum, t_final, ncon, _ = pallas_blend.blend_forward_pallas(
                     pcfg, inst.at[5].mul(1.0 + c * 1e-7),
                     abins.tile_start, abins.tile_count)
                 return jnp.sum(t_final[::16, ::16]) * 1e-20, accum[0, 0, 0]
@@ -122,29 +122,29 @@ def main():
 
     # ---- stage: backward kernel ----
     if "bwd" in stages:
-        accum, t_final, ncon = jax.block_until_ready(
+        _, _, _, raw = jax.block_until_ready(
             jax.jit(pallas_blend.blend_forward_pallas, static_argnums=0)(
                 pcfg, inst0, abins0.tile_start, abins0.tile_count))
-        cot = jnp.concatenate([
+        dcot = jnp.concatenate([
             jnp.ones((OPTS.num_tiles, 256, 7), jnp.float32),
-            t_final[..., None], ncon.astype(jnp.float32)[..., None],
-            jnp.zeros((OPTS.num_tiles, 256, 7), jnp.float32)], axis=-1)
+            jnp.zeros((OPTS.num_tiles, 256, 1), jnp.float32)], axis=-1)
 
         @jax.jit
-        def run_bwdk(inst, abins, cot):
+        def run_bwdk(inst, abins, raw, dcot):
             def body(c, i):
                 eg = pallas_blend.blend_backward_pallas(
                     pcfg, inst.at[5].mul(1.0 + c * 1e-7),
-                    abins.tile_start, abins.tile_count, cot)
+                    abins.tile_start, abins.tile_count, raw, dcot)
                 return jnp.sum(eg[0, ::4096]) * 1e-20, eg[0, 0]
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
-        timed("backward kernel", run_bwdk, inst0, abins0, cot)
+        timed("backward kernel", run_bwdk, inst0, abins0, raw, dcot)
 
         # ---- stage: grad reduce ----
         if "reduce" in stages:
             eg0 = jax.block_until_ready(jax.jit(
                 pallas_blend.blend_backward_pallas, static_argnums=0)(
-                    pcfg, inst0, abins0.tile_start, abins0.tile_count, cot))
+                    pcfg, inst0, abins0.tile_start, abins0.tile_count,
+                    raw, dcot))
 
             @jax.jit
             def run_reduce(eg, abins):
