@@ -44,13 +44,16 @@ class AlignedBins(NamedTuple):
     per-chunk DMA reads/writes never straddle a tile boundary. Padding
     slots point at gaussian `p` (invalid). Built WITHOUT large scatters
     (XLA scatter on TPU is ~20x slower than gather): tile membership of
-    aligned positions comes from a boundary-mark cumsum, and the inverse
-    permutation (expansion slot -> aligned position, for the gradient
-    reduce) from a second sort."""
+    aligned positions comes from a boundary-mark cumsum; the gradient
+    reduce un-sorts by SORTING the gradient columns on `slot` (sorts are
+    the cheapest permutation primitive on TPU)."""
     gauss_id: jax.Array        # (Rp,) int32 (p = invalid padding)
-    aligned_pos: jax.Array     # (R,) int32: expansion slot -> aligned pos
+    slot: jax.Array            # (Rp,) int32: aligned pos -> expansion slot
+    #                            (a permutation of [0, rp); dummies own
+    #                             slots >= capacity)
     tile_start: jax.Array      # (num_tiles,) int32 — K-aligned offsets
     tile_count: jax.Array      # (num_tiles,) int32 — true instance counts
+    total_len: jax.Array       # () int32 — end of the live aligned region
     offsets: jax.Array         # (P,) int32 (from TileBins, for grad reduce)
     num_rendered: jax.Array    # () int32
     max_per_tile: jax.Array    # () int32
@@ -170,26 +173,12 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
         (all_tile, all_depth, all_gid, all_slot), num_keys=2,
         is_stable=True)
 
-    # Inverse permutation for the gradient reduce via a SECOND sort:
-    # slot_s is a permutation of [0, rp) (dummies own slots >= capacity),
-    # so sorting (slot_s, position) by slot_s puts each slot's aligned
-    # position at index slot — the live prefix [:capacity] is the inverse
-    # map. (Profiled: the equivalent single-column .at[slot_s].set scatter
-    # costs 5.1 ms at 786k capacity; this sort ~1.5 ms.) Positions past
-    # `total_len` sit beyond every tile's range — the backward kernel
-    # never writes there — so truncated/padding slots map to the `rp`
-    # sentinel, which the gradient reduce masks to zero (the old scatter
-    # let truncated slots read unwritten memory during overflow steps).
-    q_iota = jnp.arange(rp, dtype=jnp.int32)
-    _, aligned_pos_full = jax.lax.sort(
-        (slot_s, jnp.where(q_iota < total_len, q_iota, rp)), num_keys=1)
-    aligned_pos = aligned_pos_full[:capacity]
-
     return AlignedBins(
         gauss_id=gid_s,
-        aligned_pos=aligned_pos,
+        slot=slot_s,
         tile_start=aligned_off,
         tile_count=counts,
+        total_len=total_len,
         offsets=offsets,
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
@@ -268,73 +257,41 @@ def aligned_capacity(capacity: int, num_tiles: int, k: int) -> int:
     return capacity + num_tiles * k
 
 
-def align_bins(bins: TileBins, num_tiles: int, k: int,
-               num_gaussians: int) -> AlignedBins:
-    """Re-lay the sorted instance list so every tile's range is K-aligned.
-    Gather-only construction (no large scatters — XLA scatter on TPU is
-    ~20x slower than gather)."""
-    r = bins.gauss_id.shape[0]
-    rp = aligned_capacity(r, num_tiles, k)
-    counts = bins.tile_stop - bins.tile_start
-    padded = (counts + (k - 1)) // k * k
-    aligned_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)[:-1]])
-
-    # Aligned position -> tile: boundary marks + cumsum (a tiny scatter of
-    # num_tiles elements; duplicate boundaries from empty tiles fold in).
-    marks = jnp.zeros((rp,), jnp.int32).at[aligned_off].add(1, mode="drop")
-    tile_of_q = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles - 1)
-    q = jnp.arange(rp, dtype=jnp.int32)
-    pos_in_tile = q - aligned_off[tile_of_q]
-    src = bins.tile_start[tile_of_q] + pos_in_tile           # sorted pos
-    live = pos_in_tile < counts[tile_of_q]
-    gid = jnp.where(live, bins.gauss_id[jnp.minimum(src, r - 1)],
-                    num_gaussians)
-
-    # Expansion slot -> aligned position: invert the sort with a SECOND
-    # sort (sorts are fast, permutation scatters are not), then shift from
-    # compact-sorted to aligned positions.
-    rows = jnp.arange(r, dtype=jnp.int32)
-    t_c = jnp.minimum(bins.tile_sorted, num_tiles - 1)
-    dest = aligned_off[t_c] + rows - bins.tile_start[t_c]
-    dest = jnp.where(bins.tile_sorted < num_tiles, dest, rp)
-    _, aligned_pos = jax.lax.sort((bins.expansion_slot, dest), num_keys=1)
-
-    return AlignedBins(
-        gauss_id=gid,
-        aligned_pos=aligned_pos,
-        tile_start=aligned_off,
-        tile_count=counts,
-        offsets=bins.offsets,
-        num_rendered=bins.num_rendered,
-        max_per_tile=bins.max_per_tile,
-    )
-
-
 def aligned_entry_grads_to_gaussian_grads(
-    entry_grads: jax.Array,      # (Rp, C) per aligned-instance gradients
+    entry_grads_fm: jax.Array,   # (C, Rp) FIELD-MAJOR per-instance grads
     abins: AlignedBins,
     capacity: int,               # R of the pre-alignment instance list
+    fast: bool = False,          # bf16 sort payloads (see fast_grad_reduce)
 ) -> jax.Array:
-    """Aligned-layout variant of `entry_grads_to_gaussian_grads`: map to
-    expansion order with a GATHER through the precomputed inverse
-    permutation, then cumsum segment sums.
+    """Aligned-layout gradient reduce: un-sort to expansion order by
+    SORTING the gradient columns on the expansion slot (one multi-payload
+    `lax.sort` — profiled cheaper than the row gather through an inverse
+    permutation, and it removes the second sort that built that inverse),
+    then cumsum segment sums per gaussian.
 
-    The cumsum runs TRANSPOSED, (C, R) along the lane axis — an (R, 12)
-    layout pads 12 -> 128 lanes on TPU and costs ~10x the HBM traffic."""
-    c = entry_grads.shape[1]
-    rp = entry_grads.shape[0]
-    pos = abins.aligned_pos                       # (R,)
-    gathered = entry_grads[jnp.minimum(pos, rp - 1)]
-    unsorted = jnp.where((pos < rp)[:, None],
-                         gathered.astype(jnp.float32), 0.0)
-    csum = jnp.cumsum(unsorted, axis=0)           # (R, C) f32
+    `slot` is a permutation of [0, rp), so the sorted prefix [:capacity]
+    IS expansion order. Rows past `total_len` are never written by the
+    backward kernel (garbage memory) — their payload is zeroed before the
+    sort; dummy/padding rows carry slots >= capacity and sort past the
+    prefix. The cumsum runs in the (C, R) field-major layout along the
+    lane axis — an (R, C) layout pads C -> 128 lanes on TPU and costs
+    ~10x the HBM traffic. Returns (P, C) f32."""
+    c, rp = entry_grads_fm.shape
+    live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
+    cols = []
+    for i in range(c):
+        col = jnp.where(live, entry_grads_fm[i], 0.0)
+        cols.append(col.astype(jnp.bfloat16) if fast else col)
+    sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
+    stacked = jnp.stack(
+        [s[:capacity].astype(jnp.float32) for s in sorted_[1:]], axis=0)
+    csum = jnp.cumsum(stacked, axis=1)            # (C, R) f32
     hi = jnp.minimum(abins.offsets, capacity) - 1
     lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                       abins.offsets[:-1]]), capacity) - 1
-    zero_row = jnp.zeros((1, c), entry_grads.dtype)
-    csum_z = jnp.concatenate([zero_row, csum], axis=0)
-    return csum_z[hi + 1] - csum_z[lo + 1]
+    csum_z = jnp.concatenate(
+        [jnp.zeros((c, 1), jnp.float32), csum], axis=1)
+    return (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T
 
 
 def entry_grads_to_gaussian_grads(

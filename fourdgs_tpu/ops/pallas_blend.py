@@ -44,9 +44,12 @@ PIX = TILE * TILE      # 256
 FEAT = 6               # rgb + depth + flow2
 ROW = 16               # field rows (padded)
 CHUNK = 128            # K — lane width; also the tile range alignment
-OUT_COLS = 8           # accum(6) + T_final + n_contrib — exactly 8 lanes
-#                        (16 cols doubled the kernel-output HBM traffic
-#                        and the downstream slicing fusions for nothing)
+OUT_COLS = 8           # accum(6) + T_final + n_contrib
+# Kernel I/O blocks are CHANNEL-MAJOR (1, 8, 256): 8 sublanes x 256 lanes
+# packs the physical (8, 128) tile exactly. The pixel-major (1, 256, 8)
+# alternative pads 8 -> 128 lanes, inflating every kernel-output /
+# cotangent tensor 16x in HBM (profiled: the dcot concatenate alone cost
+# 2.8 ms/iter at 800x800 in that layout).
 
 
 class PallasBlendConfig(NamedTuple):
@@ -140,6 +143,17 @@ def _dgc(a, b, contract_a: int, contract_b: int):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _transpose_mm(x):
+    """(N, C) -> (C, N) inside the kernel via an MXU identity contraction
+    (Mosaic has no cheap small-minor-dim VPU transpose). HIGHEST keeps the
+    3-term bf16 split, which reconstructs f32 values (and integer-valued
+    ranks < 2^24) exactly."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (x.shape[0],) * 2, 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0],) * 2, 1)
+           ).astype(jnp.float32)
+    return _dgc(x, eye, 0, 0)
+
+
 def _forward_kernel(cfg: PallasBlendConfig):
     def kernel(start_ref, count_ref, inst_hbm, out_ref, scratch, acc_ref,
                state_ref, sems):
@@ -153,7 +167,9 @@ def _forward_kernel(cfg: PallasBlendConfig):
         # Per-pixel running state lives in VMEM scratch, not loop carries
         # (Mosaic's layout unifier rejects multi-vector while carries).
         # state cols: [0] = T, [1] = done flag, [2] = n_contrib.
-        acc_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
+        # acc is CHANNEL-MAJOR (8, PIX) so the per-chunk feature
+        # contraction lands directly in the (8, 256) output layout.
+        acc_ref[:] = jnp.zeros((8, PIX), jnp.float32)
         init = jnp.zeros((PIX, 8), jnp.float32)
         state_ref[:] = init + jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1) == 0, 1.0, 0.0)
@@ -204,9 +220,10 @@ def _forward_kernel(cfg: PallasBlendConfig):
             # second exp (a_v <= 0.99 keeps the quotient well-conditioned).
             w = a_u * q / (1.0 - a_v)                  # (256, K)
 
-            # contrib[p, f] = sum_k w[p, k] * feat[f, k]: one MXU
-            # contraction over the lane axis (rows 6..13 incl. padding).
-            acc_ref[:] = acc_ref[:] + _dgc(w, inst[6:14, :], 1, 1)
+            # contrib[f, p] = sum_k feat[f, k] * w[p, k]: one MXU
+            # contraction over the lane axis (rows 6..13 incl. padding),
+            # accumulated channel-major.
+            acc_ref[:] = acc_ref[:] + _dgc(inst[6:14, :], w, 1, 1)
 
             # Full-chunk log-product == inclusive product's last column.
             t_out = t_tr * jnp.exp(jnp.sum(lcu, axis=1, keepdims=True))
@@ -239,9 +256,10 @@ def _forward_kernel(cfg: PallasBlendConfig):
         def _():
             dma(c_stop % 2, c_stop).wait()
 
-        out_ref[0] = jnp.concatenate([
-            acc_ref[:, 0:FEAT], state_ref[:, 0:1], state_ref[:, 2:3]],
-            axis=1)
+        st2 = jnp.concatenate(
+            [state_ref[:, 0:1], state_ref[:, 2:3]], axis=1)    # (256, 2)
+        out_ref[0] = jnp.concatenate(
+            [acc_ref[0:FEAT], _transpose_mm(st2)], axis=0)     # (8, 256)
 
     return kernel
 
@@ -250,32 +268,33 @@ def _forward_kernel(cfg: PallasBlendConfig):
 def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
                          tile_start: jax.Array, tile_count: jax.Array):
     """inst_data: (16, Rp) field-major aligned layout. Returns
-    (accum (T, 256, 6), t_final (T, 256), ncontrib (T, 256) i32, and the
-    raw (T, 256, 8) kernel output — the backward kernel consumes it
-    directly, so saving it as a residual skips re-assembling T/ncon)."""
+    (accum (T, 6, 256) channel-major, t_final (T, 256), ncontrib
+    (T, 256) i32, and the raw (T, 8, 256) kernel output — the backward
+    kernel consumes it directly, so saving it as a residual skips
+    re-assembling T/ncon)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, OUT_COLS, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.VMEM((8, PIX), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         _forward_kernel(cfg),
-        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, PIX, OUT_COLS),
+        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, OUT_COLS, PIX),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=cfg.interpret,
     )(tile_start, tile_count, inst_data)
-    accum = out[:, :, 0:FEAT]
-    t_final = out[:, :, FEAT]
-    ncon = out[:, :, FEAT + 1].astype(jnp.int32)
+    accum = out[:, 0:FEAT, :]
+    t_final = out[:, FEAT, :]
+    ncon = out[:, FEAT + 1, :].astype(jnp.int32)
     return accum, t_final, ncon, out
 
 
@@ -294,13 +313,21 @@ def _backward_kernel(cfg: PallasBlendConfig):
         tri_suf = _tri_suf_incl()
         tri_suf_x = _tri_suf_excl()
 
-        # dcot block (1, 256, 8): cols = dc(6) + tf_term + pad; T_final
-        # and ncon come straight from the forward kernel's saved output
-        # block (no XLA-side reassembly).
-        dc_cols = dcot_ref[0, :, 0:FEAT]                      # (256, 6)
-        tf_term = dcot_ref[0, :, FEAT: FEAT + 1]
-        t_final = fwdout_ref[0, :, FEAT: FEAT + 1]
-        ncon = fwdout_ref[0, :, FEAT + 1: FEAT + 2]           # float ranks
+        # dcot block (1, 8, 256) channel-major: rows = dc(6) + tf_term +
+        # pad; T_final and ncon come straight from the forward kernel's
+        # saved output block (no XLA-side reassembly). The three per-pixel
+        # rows are transposed to (256, 1) broadcast columns with ONE MXU
+        # identity contraction per program.
+        dc6 = dcot_ref[0, 0:FEAT, :]                          # (6, 256)
+        rows3 = jnp.concatenate([
+            dcot_ref[0, FEAT: FEAT + 1, :],                   # tf_term
+            fwdout_ref[0, FEAT: FEAT + 1, :],                 # T_final
+            fwdout_ref[0, FEAT + 1: FEAT + 2, :],             # ncon ranks
+        ], axis=0)                                            # (3, 256)
+        cols3 = _transpose_mm(rows3)                          # (256, 3)
+        tf_term = cols3[:, 0:1]
+        t_final = cols3[:, 1:2]
+        ncon = cols3[:, 2:3]                                  # float ranks
 
         # Saturation-aware trip count: no pixel used an instance ranked
         # past max(ncon), so chunks beyond it carry exactly-zero gradients
@@ -400,8 +427,9 @@ def _backward_kernel(cfg: PallasBlendConfig):
             t_before = t_run * jnp.exp(-s_suf)         # (256, K)
             w = a_u * t_before
 
-            # gdot[p, k] = sum_f feat[f, k] * dc_f[p]: one MXU matmul.
-            gdot = _mm(dc_cols, inst[6:12, :])
+            # gdot[p, k] = sum_f dc_f[p] * feat[f, k]: one MXU matmul
+            # contracting the channel axis of both channel-major operands.
+            gdot = _dgc(dc6, inst[6:12, :], 0, 0)
             phi = w * gdot
             suffix_excl = _mm(phi, tri_suf_x) + sigma
             d_alpha = jnp.where(
@@ -411,7 +439,7 @@ def _backward_kernel(cfg: PallasBlendConfig):
             # d_feat[f, k] = sum_p dc_f[p] w[p, k]: MXU contraction over
             # the pixel (sublane) axis; other per-gaussian reductions stay
             # cheap sublane reduces.
-            d_feat6 = _dgc(dc_cols, w, 0, 0)           # (6, K)
+            d_feat6 = _dgc(dc6, w, 1, 0)               # (6, K)
             d_opa = jnp.sum(g * d_alpha, axis=0, keepdims=True)
             d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)
             d_cb = jnp.sum(-dx * dy * d_power, axis=0, keepdims=True)
@@ -454,18 +482,18 @@ def _backward_kernel(cfg: PallasBlendConfig):
 def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
                           tile_start: jax.Array, tile_count: jax.Array,
                           fwd_out: jax.Array, dcot: jax.Array):
-    """fwd_out: the forward kernel's raw (T, 256, 8) output (carries
-    T_final + ncon). dcot: (T, 256, 8) = [dc(6), tf_term, pad].
-    Returns per-instance gradient rows, field-major (16, Rp)."""
+    """fwd_out: the forward kernel's raw (T, 8, 256) output (carries
+    T_final + ncon). dcot: (T, 8, 256) channel-major = [dc(6), tf_term,
+    pad]. Returns per-instance gradient rows, field-major (16, Rp)."""
     rp = inst_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, OUT_COLS, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUT_COLS), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, OUT_COLS, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -490,6 +518,27 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
 # ---------------------------------------------------------------------------
 # Differentiable wrapper (mirrors blend.blend's contract).
 # ---------------------------------------------------------------------------
+
+def _ctiles_to_image(x, bc):
+    """Channel-major tiles (T, C, 256) -> (H, W, C)."""
+    c = x.shape[1]
+    img = x.reshape(bc.tiles_y, bc.tiles_x, c, TILE, TILE)
+    img = jnp.transpose(img, (0, 3, 1, 4, 2))
+    img = img.reshape(bc.tiles_y * TILE, bc.tiles_x * TILE, c)
+    return img[: bc.height, : bc.width]
+
+
+def _image_to_ctiles(img, bc):
+    """(H, W, C) -> channel-major tiles (T, C, 256), zero-padding
+    partial tiles."""
+    c = img.shape[2]
+    hp, wp = bc.tiles_y * TILE, bc.tiles_x * TILE
+    img = jnp.pad(img, [(0, hp - img.shape[0]), (0, wp - img.shape[1]),
+                        (0, 0)])
+    img = img.reshape(bc.tiles_y, TILE, bc.tiles_x, TILE, c)
+    img = jnp.transpose(img, (0, 2, 4, 1, 3))
+    return img.reshape(bc.tiles_y * bc.tiles_x, c, PIX)
+
 
 def _build_inst_data(xy, conic, opacity, feat, abins):
     """Gather per-gaussian data into the field-major aligned layout
@@ -521,10 +570,10 @@ def _blend_pallas_forward(cfg, xy, conic, opacity, feat, bg, abins):
         cfg, inst, abins.tile_start, abins.tile_count)
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
-    color = _tiles_to_image(
-        accum[..., 0:3] + t_final[..., None] * bg[None, None, :], bc)
-    depth = _tiles_to_image(accum[..., 3], bc)
-    flow = _tiles_to_image(accum[..., 4:6], bc)
+    color = _ctiles_to_image(
+        accum[:, 0:3, :] + t_final[:, None, :] * bg[None, :, None], bc)
+    depth = _tiles_to_image(accum[:, 3, :], bc)
+    flow = _ctiles_to_image(accum[:, 4:6, :], bc)
     alpha = _tiles_to_image(1.0 - t_final, bc)
     return (color, depth, flow, alpha), t_final, ncon
 
@@ -541,10 +590,10 @@ def _blend_pallas_fwd(cfg, xy, conic, opacity, feat, bg, abins):
         cfg, inst, abins.tile_start, abins.tile_count)
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
-    color = _tiles_to_image(
-        accum[..., 0:3] + t_final[..., None] * bg[None, None, :], bc)
-    depth = _tiles_to_image(accum[..., 3], bc)
-    flow = _tiles_to_image(accum[..., 4:6], bc)
+    color = _ctiles_to_image(
+        accum[:, 0:3, :] + t_final[:, None, :] * bg[None, :, None], bc)
+    depth = _tiles_to_image(accum[:, 3, :], bc)
+    flow = _ctiles_to_image(accum[:, 4:6, :], bc)
     alpha = _tiles_to_image(1.0 - t_final, bc)
     out = (color, depth, flow, alpha)
     return out, (inst, bg, abins, raw)
@@ -555,37 +604,37 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     from .blend import BlendConfig, _image_to_tiles
 
     inst, bg, abins, raw = res
-    t_final = raw[:, :, FEAT]
+    t_final = raw[:, FEAT, :]
     d_color, d_depth, d_flow, d_alpha = cots
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
 
     dc = jnp.concatenate([
-        _image_to_tiles(d_color, bc),
-        _image_to_tiles(d_depth, bc)[..., None],
-        _image_to_tiles(d_flow, bc),
-    ], axis=-1)                                   # (T, 256, 6)
-    dt_total = (jnp.einsum("tpc,c->tp", dc[..., 0:3], bg)
+        _image_to_ctiles(d_color, bc),
+        _image_to_ctiles(d_depth[..., None], bc),
+        _image_to_ctiles(d_flow, bc),
+    ], axis=1)                                    # (T, 6, 256)
+    dt_total = (jnp.einsum("tcp,c->tp", dc[:, 0:3, :], bg)
                 - _image_to_tiles(d_alpha, bc))
     tf_term = dt_total * t_final
-    d_bg = jnp.einsum("tp,tpc->c", t_final, dc[..., 0:3])
+    d_bg = jnp.einsum("tp,tcp->c", t_final, dc[:, 0:3, :])
 
     dcot = jnp.concatenate([
         dc,
-        tf_term[..., None],
-        jnp.zeros(dc.shape[:2] + (OUT_COLS - FEAT - 1,), jnp.float32),
-    ], axis=-1)                                   # (T, 256, 8)
+        tf_term[:, None, :],
+        jnp.zeros((dc.shape[0], OUT_COLS - FEAT - 1, PIX), jnp.float32),
+    ], axis=1)                                    # (T, 8, 256)
 
     entry_grads = blend_backward_pallas(
         cfg, inst, abins.tile_start, abins.tile_count, raw, dcot)
     # Only 10 of the 12 gradient rows matter downstream: the flow feature
     # is a zeros CONSTANT in training (`gaussian_renderer/__init__.py:119`
-    # parity), so its cotangent is discarded by AD.
-    entry_rows = jnp.swapaxes(entry_grads, 0, 1)[:, :10]
-    if cfg.fast_grad_reduce:
-        entry_rows = entry_rows.astype(jnp.bfloat16)
+    # parity), so its cotangent is discarded by AD. Rows stay field-major
+    # (10, Rp) straight into the sort-based reduce — no transpose.
+    capacity = abins.slot.shape[0] - cfg.num_tiles * CHUNK
     per_gauss = aligned_entry_grads_to_gaussian_grads(
-        entry_rows, abins, capacity=abins.aligned_pos.shape[0])
+        entry_grads[:10], abins, capacity=capacity,
+        fast=cfg.fast_grad_reduce)
     d_xy = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
     d_opa = per_gauss[:, 5]

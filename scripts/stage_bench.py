@@ -126,8 +126,8 @@ def main():
             jax.jit(pallas_blend.blend_forward_pallas, static_argnums=0)(
                 pcfg, inst0, abins0.tile_start, abins0.tile_count))
         dcot = jnp.concatenate([
-            jnp.ones((OPTS.num_tiles, 256, 7), jnp.float32),
-            jnp.zeros((OPTS.num_tiles, 256, 1), jnp.float32)], axis=-1)
+            jnp.ones((OPTS.num_tiles, 7, 256), jnp.float32),
+            jnp.zeros((OPTS.num_tiles, 1, 256), jnp.float32)], axis=1)
 
         @jax.jit
         def run_bwdk(inst, abins, raw, dcot):
@@ -146,19 +146,16 @@ def main():
                     pcfg, inst0, abins0.tile_start, abins0.tile_count,
                     raw, dcot))
 
+            cap = abins0.slot.shape[0] - OPTS.num_tiles * pallas_blend.CHUNK
+
             @jax.jit
             def run_reduce(eg, abins):
                 def body(c, i):
-                    rows = jnp.swapaxes(eg, 0, 1)[:, :10]
-                    rows = (rows + c * 1e-9).astype(jnp.bfloat16)
                     pg = binning.aligned_entry_grads_to_gaussian_grads(
-                        rows, abins, capacity=abins.aligned_pos.shape[0])
+                        eg[:10] + c * 1e-9, abins, capacity=cap, fast=True)
                     return jnp.sum(pg[::512, 0]).astype(jnp.float32) * 1e-20, pg[0, 0]
                 return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
-            # Measured (v5e, 1.5M capacity): this row-major form 15.1
-            # ms/iter vs 17.8 for a field-major lane-gather/lane-cumsum
-            # variant — the row gather wins despite the 10->128 lane pad.
-            timed("grad reduce (bf16 rows)", run_reduce, eg0, abins0)
+            timed("grad reduce (sort bf16)", run_reduce, eg0, abins0)
 
     # ---- stage: photometric loss alone (SSIM + L1 on images) ----
     if "loss" in stages:
