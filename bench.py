@@ -53,6 +53,8 @@ def build_inputs(p=100_000, h=800, w=800, seed=0):
 
 
 def main():
+    from fourdgs_tpu.utils.runtime import respect_platform_env
+    respect_platform_env()
     import jax
 
     jax.config.update("jax_compilation_cache_dir",

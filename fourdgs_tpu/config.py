@@ -102,6 +102,9 @@ class TrainConfig:
         default_factory=lambda: [7000, 30000])
     checkpoint_iterations: List[int] = dataclasses.field(default_factory=list)
     start_checkpoint: Optional[str] = None
+    debug_from: int = -1               # iteration from which pipeline.debug
+    #                                    engages (reference train.py:361,
+    #                                    `--debug_from`); -1 = never
 
     # TPU execution knobs (no reference analogue).
     capacity_slack: float = 1.3        # padded-cloud headroom
@@ -147,18 +150,24 @@ def _apply(dc, updates: dict, path: str):
             setattr(dc, key, _coerce(value, cur))
 
 
+def apply_yaml(cfg: TrainConfig, yaml_path: str) -> None:
+    """Merge a reference-layout YAML onto an existing config (the
+    reference applies YAML LAST, over argparse+CLI — `train.py:381-390`)."""
+    with open(yaml_path) as f:
+        raw = yaml.safe_load(f) or {}
+    for group, attr in _GROUP_KEYS.items():
+        if group in raw:
+            _apply(getattr(cfg, attr), raw.pop(group), f"{attr}.")
+    _apply(cfg, raw, "")
+
+
 def load_config(yaml_path: Optional[str] = None,
                 overrides: Optional[dict] = None) -> TrainConfig:
     """Build a TrainConfig from defaults + a reference-layout YAML +
     programmatic overrides (applied last)."""
     cfg = TrainConfig()
     if yaml_path:
-        with open(yaml_path) as f:
-            raw = yaml.safe_load(f) or {}
-        for group, attr in _GROUP_KEYS.items():
-            if group in raw:
-                _apply(getattr(cfg, attr), raw.pop(group), f"{attr}.")
-        _apply(cfg, raw, "")
+        apply_yaml(cfg, yaml_path)
     if overrides:
         _apply(cfg, overrides, "")
     # Reference post-processing (`train.py:368-377`): 4D SH degree.

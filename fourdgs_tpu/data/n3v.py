@@ -312,3 +312,17 @@ def preprocess_n3v(path: str, test_cam_index: int = 0) -> None:
         if not triangulate_points(path):
             print("[n3v] colmap unavailable — trainer will fall back to "
                   "random point initialization")
+
+
+if __name__ == "__main__":  # CLI parity with scripts/n3v2blender.py:221-232
+    import argparse
+
+    _p = argparse.ArgumentParser(
+        description="N3V/DyNeRF scene preprocessing: ffmpeg frame "
+        "extraction, LLFF poses -> transforms_{train,test}.json, COLMAP "
+        "known-pose triangulation -> points3d.ply")
+    _p.add_argument("path", help="scene dir with *.mp4 + poses_bounds.npy")
+    _p.add_argument("--test_cam_index", type=int, default=0,
+                    help="camera held out for eval (reference: cam00)")
+    _a = _p.parse_args()
+    preprocess_n3v(_a.path, _a.test_cam_index)

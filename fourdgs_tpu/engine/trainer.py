@@ -545,7 +545,10 @@ class Trainer:
                                      int(metrics.max_per_tile))
 
                     loss = float(metrics.loss)
-                    if not np.isfinite(loss) and self.cfg.pipeline.debug:
+                    debug_on = (self.cfg.pipeline.debug
+                                or (self.cfg.debug_from >= 0
+                                    and it >= self.cfg.debug_from))
+                    if not np.isfinite(loss) and debug_on:
                         self._dump_debug_snapshot(it, arrays, gt, alpha, intr)
                     ema_loss = (0.4 * loss + 0.6 * ema_loss
                                 if it > 1 else loss)

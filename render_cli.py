@@ -30,6 +30,8 @@ def main(argv=None):
                          "time_duration) from the first camera")
     args = ap.parse_args(argv)
 
+    from fourdgs_tpu.utils.runtime import respect_platform_env
+    respect_platform_env()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),

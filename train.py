@@ -29,6 +29,19 @@ def parse_args(argv=None):
     p.add_argument("--start_checkpoint", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval", action="store_true", default=None)
+    # Reference top-level flags (/root/reference/train.py:361-376); YAML
+    # still wins when the config sets the same key (reference precedence).
+    p.add_argument("--gaussian_dim", type=int, default=None)
+    p.add_argument("--time_duration", nargs=2, type=float, default=None)
+    p.add_argument("--num_pts", type=int, default=None)
+    p.add_argument("--num_pts_ratio", type=float, default=None)
+    p.add_argument("--rot_4d", action="store_true", default=None)
+    p.add_argument("--force_sh_3d", action="store_true", default=None)
+    p.add_argument("--exhaust_test", action="store_true", default=None)
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                   default=None)
+    p.add_argument("--debug_from", type=int, default=None,
+                   help="iteration from which pipeline.debug engages")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--detect_anomaly", action="store_true",
                    help="jax_debug_nans (reference --detect_anomaly)")
@@ -41,9 +54,12 @@ def parse_args(argv=None):
 
 
 def build_config(args):
-    from fourdgs_tpu.config import load_config
+    from fourdgs_tpu.config import apply_yaml, load_config
 
-    cfg = load_config(args.config)
+    # Reference precedence (`/root/reference/train.py:381-390`): argparse
+    # defaults < CLI flags < YAML (the YAML is merged LAST). --override
+    # stays after everything for explicit post-YAML tweaks.
+    cfg = load_config(None)
     if args.source_path is not None:
         cfg.model.source_path = args.source_path
     if args.model_path is not None:
@@ -64,6 +80,26 @@ def build_config(args):
         cfg.seed = args.seed
     if args.eval:
         cfg.model.eval = True
+    if args.gaussian_dim is not None:
+        cfg.gaussian_dim = args.gaussian_dim
+    if args.time_duration is not None:
+        cfg.time_duration = tuple(args.time_duration)
+    if args.num_pts is not None:
+        cfg.num_pts = args.num_pts
+    if args.num_pts_ratio is not None:
+        cfg.num_pts_ratio = args.num_pts_ratio
+    if args.rot_4d:
+        cfg.rot_4d = True
+    if args.force_sh_3d:
+        cfg.force_sh_3d = True
+    if args.exhaust_test:
+        cfg.exhaust_test = True
+    if args.checkpoint_iterations is not None:
+        cfg.checkpoint_iterations = args.checkpoint_iterations
+    if args.debug_from is not None:
+        cfg.debug_from = args.debug_from
+    if args.config:
+        apply_yaml(cfg, args.config)
     for kv in args.override:
         key, _, value = kv.partition("=")
         obj = cfg
@@ -88,6 +124,8 @@ def main(argv=None):
               file=sys.stderr)
         return 2
 
+    from fourdgs_tpu.utils.runtime import respect_platform_env
+    respect_platform_env()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
