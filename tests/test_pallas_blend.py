@@ -69,3 +69,40 @@ def test_pallas_gradients_match_oracle(rng):
         scale = max(np.abs(b).max(), 1e-3)
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
                                    err_msg=f"grad mismatch for {k}")
+
+
+def test_fast_grad_reduce_close_to_exact(rng):
+    """The production fast path (bf16 kernel gradient rows + packed bf16
+    sort payloads) must track the exact f32 path within bf16 rounding —
+    the bench/trainer run fast=True while parity tests run fast=False, so
+    this is the only CPU check that the fast route is wired correctly."""
+    scene_np = random_scene(rng, p=48)
+    cam = look_at_camera(width=OPTS.width, height=OPTS.height).arrays()
+    bg = jnp.asarray([0.05, 0.1, 0.15], jnp.float32)
+    tgt = jnp.asarray(rng.random((OPTS.height, OPTS.width, 3)), jnp.float32)
+
+    diff_keys = ("means3d", "t", "scales", "scales_t", "rotations",
+                 "rotations_r", "opacity", "sh")
+    diff = {k: jnp.asarray(scene_np[k]) for k in diff_keys}
+    aux = {"active": jnp.asarray(scene_np["active"])}
+
+    def loss(d, fast):
+        out = render(**d, **aux, camera=cam, bg=bg, opts=OPTS,
+                     backend="pallas_interpret", fast_grad_reduce=fast,
+                     **KW)
+        return jnp.sum((out.color - tgt) ** 2) + jnp.sum(out.alpha)
+
+    v_f, g_f = jax.value_and_grad(loss)(diff, True)
+    v_e, g_e = jax.value_and_grad(loss)(diff, False)
+    np.testing.assert_allclose(float(v_f), float(v_e), rtol=1e-6)
+    for k in diff_keys:
+        a, b = np.asarray(g_f[k]), np.asarray(g_e[k])
+        scale = max(np.abs(b).max(), 1e-3)
+        d = np.abs(a - b) / scale
+        # bf16 has ~2^-8 relative rounding per instance; per-gaussian sums
+        # mostly average it out, but near-cancelling sums keep a few
+        # percent-level outliers (same profile as scripts/tpu_verify.py's
+        # full-scale fast-vs-exact check) — bound the bulk tightly and the
+        # worst case loosely.
+        assert d.mean() < 2e-3, f"fast-path bulk error for {k}: {d.mean()}"
+        assert d.max() < 5e-2, f"fast-path outlier for {k}: {d.max()}"
