@@ -183,6 +183,14 @@ class Trainer:
         if path.endswith(".ply"):
             from ..models.ply_io import import_gaussians_ply
             self.gauss = import_gaussians_ply(path)
+        elif path.endswith(".pth"):
+            # Reference torch checkpoint: raw tensors only, fresh
+            # optimizer (create_from_pth, `gaussian_model.py:302-329`).
+            from ..models.torch_import import import_reference_pth
+            dur = self.cfg.time_duration[1] - self.cfg.time_duration[0]
+            self.gauss, _ = import_reference_pth(
+                path, duration=dur, with_optimizer=False,
+                capacity_slack=self.cfg.capacity_slack)
         else:
             gauss, _, _, _ = ckpt_lib.load_checkpoint(path)
             from ..models.gaussians import AdamState, GaussianParams
@@ -239,6 +247,8 @@ class Trainer:
                    "jax_key": np.asarray(self.key)})
 
     def load(self, path: str):
+        if path.endswith(".pth"):
+            return self._load_reference_pth(path)
         self.gauss, self.env, self.step, extra = ckpt_lib.load_checkpoint(path)
         self.best_psnr = extra.get("best_psnr", 0.0)
         if "np_rng_state" in extra:
@@ -250,6 +260,27 @@ class Trainer:
         # Densified checkpoints are typically several-fold larger than the
         # init cloud the budgets were probed from — re-probe so resumed
         # training / render_cli never silently truncates.
+        self._probe_and_grow()
+
+    def _load_reference_pth(self, path: str):
+        """Resume from a REFERENCE torch checkpoint (`train.py:50-52`
+        restore semantics): params + densify stats + Adam moments +
+        iteration; env map texture when both sides configure one."""
+        from ..models import envmap as envmap_lib
+        from ..models.torch_import import import_reference_pth
+
+        dur = self.cfg.time_duration[1] - self.cfg.time_duration[0]
+        self.gauss, meta = import_reference_pth(
+            path, duration=dur, with_optimizer=True,
+            capacity_slack=self.cfg.capacity_slack)
+        self.step = meta["iteration"]
+        if meta["env_map"] is not None and self.env is not None:
+            fresh = envmap_lib.init_envmap(meta["env_map"].shape[0])
+            self.env = fresh._replace(texture=jnp.asarray(meta["env_map"]))
+        self.log(f"resumed reference checkpoint {path} "
+                 f"(iter {self.step}, {int(self.gauss.n_active)} gaussians)")
+        self._step_fn = None
+        self._eval_fn = None
         self._probe_and_grow()
 
     # ---------------------------------------------------------- batching
