@@ -162,3 +162,38 @@ def import_reference_pth(path: str, *, duration: float = 1.0,
         "rot_4d": bool(cap.get("rot_4d", "rotation_r" in cap)),
     }
     return gauss, meta
+
+
+def export_reference_pth(path: str, gauss: GaussianState, *,
+                         iteration: int = 0, active_sh_degree: int = 3,
+                         active_sh_degree_t: int = 2, rot_4d: bool = True,
+                         spatial_lr_scale: float = 1.0,
+                         env_map: Optional[np.ndarray] = None) -> None:
+    """Write a REFERENCE-format torch checkpoint (the 4D capture() tuple,
+    `gaussian_model.py:115-136`) so a cloud trained here loads in the
+    upstream code via `--start_checkpoint` / `create_from_pth`. Only the
+    live rows are written; the optimizer state_dict is left empty (the
+    reference re-runs training_setup and overwrites it on restore)."""
+    import torch
+
+    n = int(gauss.n_active)
+    tt = lambda a, *shape: torch.from_numpy(  # noqa: E731
+        np.asarray(a, np.float32)[:n].reshape(*shape).copy())
+    p = gauss.params
+    capture = (
+        int(active_sh_degree),
+        tt(p.xyz, n, 3), tt(p.f_dc, n, 1, 3),
+        tt(p.f_rest, n, -1, 3), tt(p.scaling, n, 3),
+        tt(p.rotation, n, 4), tt(p.opacity, n, 1),
+        tt(gauss.max_radii2d, n),
+        tt(gauss.xyz_grad_accum, n, 1), tt(gauss.t_grad_accum, n, 1),
+        tt(gauss.denom, n, 1),
+        {},                       # optimizer state (reference rebuilds)
+        float(spatial_lr_scale),
+        tt(p.t, n, 1), tt(p.scaling_t, n, 1), tt(p.rotation_r, n, 4),
+        bool(rot_4d),
+        None if env_map is None else torch.from_numpy(
+            np.asarray(env_map, np.float32).transpose(2, 0, 1).copy()),
+        int(active_sh_degree_t),
+    )
+    torch.save((capture, int(iteration)), path)

@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--split", default="test", choices=["test", "train"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--max_views", type=int, default=0)
+    ap.add_argument("--export_pth", default=None,
+                    help="write a reference-format torch checkpoint "
+                         "(loads in the upstream repo)")
     ap.add_argument("--export_ply", default=None,
                     help="also export the gaussian cloud as PLY")
     ap.add_argument("--video_frames", type=int, default=0,
@@ -111,6 +114,16 @@ def main(argv=None):
                              gaussian_dim=cfg.gaussian_dim,
                              rot_4d=cfg.rot_4d)
         print(f"exported cloud -> {args.export_ply}")
+    if args.export_pth:
+        from fourdgs_tpu.models.torch_import import export_reference_pth
+        env_tex = (np.asarray(trainer.env.texture)
+                   if trainer.env is not None else None)
+        export_reference_pth(
+            args.export_pth, trainer.gauss, iteration=int(trainer.step),
+            rot_4d=cfg.rot_4d,
+            spatial_lr_scale=float(trainer.spatial_lr_scale),
+            env_map=env_tex)
+        print(f"exported reference checkpoint -> {args.export_pth}")
     return 0
 
 

@@ -99,3 +99,35 @@ def test_import_3d_layout(tmp_path, rng):
     # No optimizer state in the dict -> fresh Adam.
     assert int(gauss.adam.count) == 0
     assert float(np.abs(np.asarray(gauss.adam.mu.xyz)).max()) == 0.0
+
+
+def test_export_import_roundtrip(tmp_path, rng):
+    """export_reference_pth(import(x)) preserves the live rows exactly."""
+    capture, params = _fake_capture_4d(rng)
+    src = str(tmp_path / "src.pth")
+    torch.save((capture, 77), src)
+    gauss, meta = import_reference_pth(src, duration=1.0)
+
+    from fourdgs_tpu.models.torch_import import export_reference_pth
+    dst = str(tmp_path / "dst.pth")
+    export_reference_pth(dst, gauss, iteration=meta["iteration"],
+                         active_sh_degree=meta["active_sh_degree"],
+                         active_sh_degree_t=meta["active_sh_degree_t"],
+                         rot_4d=meta["rot_4d"],
+                         spatial_lr_scale=meta["spatial_lr_scale"],
+                         env_map=meta["env_map"])
+    gauss2, meta2 = import_reference_pth(dst, duration=1.0)
+    assert meta2["iteration"] == 77
+    assert meta2["spatial_lr_scale"] == pytest.approx(4.5)
+    n = int(gauss.n_active)
+    assert int(gauss2.n_active) == n
+    for field in ("xyz", "t", "scaling", "scaling_t", "rotation",
+                  "rotation_r", "f_dc", "f_rest", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(gauss2.params, field))[:n],
+            np.asarray(getattr(gauss.params, field))[:n],
+            err_msg=f"roundtrip {field}")
+    np.testing.assert_allclose(meta2["env_map"], meta["env_map"], rtol=1e-7)
+    # The exported tuple is the reference 4D layout (19 fields).
+    cap, _ = load_reference_pth(dst)
+    assert cap["rot_4d"] is True and len(cap) == 19
