@@ -71,6 +71,57 @@ def test_pallas_gradients_match_oracle(rng):
                                    err_msg=f"grad mismatch for {k}")
 
 
+def test_empty_tiles_interleaved(rng):
+    """Tiles with ZERO instances at the start, middle, and end of the
+    grid — the edge cases of the kernels' cross-tile chunk-0 prefetch
+    (a previous program prefetches only when the next tile is nonempty;
+    empty tiles must neither wait nor poison the pipeline)."""
+    scene = random_scene(rng, p=48)
+    # Concentrate everything in the lower-right corner so the leading
+    # tiles (incl. tile 0) and most interior tiles are empty.
+    scene["means3d"][:, 0] = rng.uniform(0.9, 1.6, 48)
+    scene["means3d"][:, 1] = rng.uniform(0.9, 1.6, 48)
+    scene["means3d"][:, 2] = rng.uniform(2.0, 3.0, 48)
+    scene["scales"] = (scene["scales"] * 0.2).astype(np.float32)
+    scene = _as_jnp(scene)
+    cam = look_at_camera(width=OPTS.width, height=OPTS.height).arrays()
+    bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
+
+    out_x = render(**scene, camera=cam, bg=bg, opts=OPTS, backend="xla",
+                   **KW)
+    out_p = render(**scene, camera=cam, bg=bg, opts=OPTS,
+                   backend="pallas_interpret", **KW)
+    # Sanity: the corner concentration actually leaves empty tiles AND
+    # renders something.
+    alpha = np.asarray(out_x.alpha)
+    assert alpha[:16, :16].max() == 0.0          # tile 0 empty
+    assert alpha.max() > 0.05
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_x.color), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.alpha),
+                               np.asarray(out_x.alpha), rtol=1e-4,
+                               atol=1e-5)
+
+    # Gradients through the same geometry (backward kernel's prefetch
+    # walks back-to-front; empty and saturated tiles interleave).
+    diff = {k: scene[k] for k in ("means3d", "opacity", "sh")}
+    aux = {k: scene[k] for k in scene if k not in diff}
+
+    def loss(d, backend):
+        out = render(**d, **aux, camera=cam, bg=bg, opts=OPTS,
+                     backend=backend, **KW)
+        return jnp.sum(out.color ** 2) + jnp.sum(out.alpha)
+
+    g_p = jax.grad(lambda d: loss(d, "pallas_interpret"))(diff)
+    g_x = jax.grad(lambda d: loss(d, "xla"))(diff)
+    for k in diff:
+        a, b = np.asarray(g_p[k]), np.asarray(g_x[k])
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=f"empty-tile grad {k}")
+
+
 def test_fast_grad_reduce_close_to_exact(rng):
     """The production fast path (bf16 kernel gradient rows + packed bf16
     sort payloads) must track the exact f32 path within bf16 rounding —
