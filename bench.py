@@ -15,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -87,9 +88,38 @@ def main():
         loss, _, _ = photometric_loss(out.color, tgt)
         return loss, (out.num_rendered, out.max_per_tile)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
     diff = {k: scene[k] for k in diff_keys}
     aux = {k: scene[k] for k in scene if k not in diff_keys}
+
+    if "--render" in sys.argv:
+        # Forward-only mode: the reference's headline claim is real-time
+        # RENDERING (README.md:1,14); this measures frames/s on one chip.
+        def fwd_fn(diff, aux, ts):
+            cam2 = cam._replace(timestamp=ts)  # novel time each call
+            out = render(**diff, **aux, camera=cam2, bg=bg, opts=opts,
+                         capacity=capacity, max_per_tile=max_per_tile,
+                         chunk=32, backend=backend)
+            return out.color, out.depth, out.alpha
+
+        fwd = jax.jit(fwd_fn)
+        o = fwd(diff, aux, jnp.float32(0.5))
+        jax.block_until_ready(o)
+        iters = 20
+        t0 = time.perf_counter()
+        for i in range(iters):
+            o = fwd(diff, aux, jnp.float32((i % 10) / 10))
+        jax.block_until_ready(o)
+        dt = time.perf_counter() - t0
+        fps = iters / dt
+        print(json.dumps({
+            "metric": "render frames/s/chip (100k 4D gaussians, 800x800)",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps * h * w / BASELINE_RAYS_PER_S, 3),
+        }))
+        return
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
     # Warmup / compile + sanity.
     (loss, (nr, mpt)), grads = grad_fn(diff, aux)
