@@ -166,6 +166,14 @@ class Trainer:
         self._io_pool = ThreadPoolExecutor(max_workers=8)
         self._inflight = deque()   # (it, num_rendered, max_per_tile) probes
         self.metrics_log = MetricsLogger(cfg.model.model_path)
+        # TensorBoard event file in the model dir (the reference's
+        # SummaryWriter(args.model_path), `train.py:255-263`); scalars
+        # mirror the reference tags, images the eval grids.
+        if cfg.model.model_path:
+            from ..utils.tb_writer import TBWriter
+            self.tb = TBWriter(cfg.model.model_path)
+        else:
+            self.tb = None
 
         self._probe_and_grow()
 
@@ -597,6 +605,20 @@ class Trainer:
                             psnr=metrics.psnr, total_points=metrics.n_active,
                             num_rendered=metrics.num_rendered,
                             rigid=metrics.rigid, motion=metrics.motion)
+                        if self.tb is not None:
+                            # Reference tag names (`train.py:277-298`).
+                            add = self.tb.add_scalar
+                            add('train_loss_patches/l1_loss',
+                                float(metrics.l1), it)
+                            add('train_loss_patches/ssim_loss',
+                                float(metrics.ssim_loss), it)
+                            add('train_loss_patches/total_loss', loss, it)
+                            add('total_points', int(metrics.n_active), it)
+                            add('iter_time', (time.perf_counter() - t_start)
+                                / max(it, 1) * 1000.0, it)
+                            if float(metrics.rigid) > 0:
+                                add('train_loss_patches/rigid_loss',
+                                    float(metrics.rigid), it)
                 if on_step is not None:
                     on_step(it, metrics)
 
@@ -672,12 +694,25 @@ class Trainer:
                 if msssims:
                     msg += f" ms-ssim {np.mean(msssims):.4f}"
                 self.log(msg + f" ({len(cams)} cams)")
+                if self.tb is not None:
+                    # Reference `train.py:326-336` viewpoint tags.
+                    self.tb.add_scalar(
+                        f"{tag}/loss_viewpoint - psnr",
+                        float(np.mean(psnrs)), self.step)
+                    self.tb.add_scalar(
+                        f"{tag}/loss_viewpoint - ssim",
+                        float(np.mean(ssims)), self.step)
             return float(np.mean(psnrs)) if psnrs else 0.0
 
         cams = self.scene.test_cameras
         if max_cameras:
             cams = cams[:max_cameras]
         mean_psnr = run(cams, "test")
+        if self.tb is not None:
+            n = int(self.gauss.n_active)
+            opa = 1.0 / (1.0 + np.exp(
+                -np.asarray(self.gauss.params.opacity)[:n, 0]))
+            self.tb.add_histogram("scene/opacity_histogram", opa, self.step)
         if train_views:
             # Reference samples train views idx % n for idx in 5..25 step 5
             # (`train.py:304`).
@@ -702,6 +737,9 @@ class Trainer:
         top = np.concatenate(panels[:2], axis=1)
         bot = np.concatenate(panels[2:], axis=1)
         grid = (np.concatenate([top, bot], axis=0) * 255).astype(np.uint8)
+        if self.tb is not None:
+            self.tb.add_image(f"{tag}_view_{idx}/gt_vs_render", grid,
+                              self.step)
         out = os.path.join(self.cfg.model.model_path, "eval")
         os.makedirs(out, exist_ok=True)
         name = cam.image_name or str(idx)
