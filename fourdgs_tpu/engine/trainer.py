@@ -440,6 +440,12 @@ class Trainer:
         Returns (color, depth, alpha) device arrays."""
         arrays = jax.tree.map(jnp.asarray, cam.arrays())
         intr = jnp.asarray(camera_intrinsics(cam))
+        return self.render_arrays(arrays, intr)
+
+    def render_arrays(self, arrays, intr):
+        """render_view for raw CameraArrays (live-viewer MiniCam path,
+        reference `scene/cameras.py:91-103`). Same overflow-regrowth
+        guarantee. Dimensions must match the trainer's compiled opts."""
         for _ in range(8):
             color, depth, alpha, num_rendered, max_per_tile = \
                 self._render_eval(arrays, intr)

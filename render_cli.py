@@ -23,6 +23,12 @@ def main(argv=None):
     ap.add_argument("--split", default="test", choices=["test", "train"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--max_views", type=int, default=0)
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve the checkpoint to a SIBR-protocol live "
+                         "viewer instead of writing files")
+    ap.add_argument("--viewer_port", type=int, default=6009)
+    ap.add_argument("--viewer_time", type=float, default=0.0,
+                    help="timestamp rendered in viewer mode")
     ap.add_argument("--export_pth", default=None,
                     help="write a reference-format torch checkpoint "
                          "(loads in the upstream repo)")
@@ -54,6 +60,10 @@ def main(argv=None):
     cfg = load_config(args.config)
     trainer = Trainer(cfg)
     trainer.load(args.checkpoint)
+
+    if args.viewer:
+        return serve_viewer(trainer, args)
+
     out_dir = args.out or os.path.join(
         cfg.model.model_path or ".", f"renders_{args.split}")
     os.makedirs(out_dir, exist_ok=True)
@@ -124,6 +134,53 @@ def main(argv=None):
             spatial_lr_scale=float(trainer.spatial_lr_scale),
             env_map=env_tex)
         print(f"exported reference checkpoint -> {args.export_pth}")
+    return 0
+
+
+def serve_viewer(trainer, args):
+    """Serve the loaded checkpoint to a SIBR-protocol viewer: renders at
+    the trainer's compiled resolution, resizes to the client's request
+    (avoids a recompile per window size)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from fourdgs_tpu.data.cameras import camera_from_matrices
+    from fourdgs_tpu.viewer import ViewerServer
+
+    w, h = trainer.opts.width, trainer.opts.height
+    server = ViewerServer(port=args.viewer_port)
+    print(f"viewer: SIBR protocol on 127.0.0.1:{args.viewer_port} "
+          f"(rendering {w}x{h} @ t={args.viewer_time}); ctrl-C to stop")
+
+    def render_fn(req):
+        arrays = jax.tree.map(jnp.asarray, camera_from_matrices(
+            w, h, req.fovx, req.fovy, req.viewmatrix, req.full_proj,
+            timestamp=args.viewer_time))
+        focal = np.asarray(arrays.focal)
+        intr = jnp.asarray(
+            np.array([focal[0], focal[1], w / 2, h / 2], np.float32))
+        color, _, _ = trainer.render_arrays(arrays, intr)
+        img = np.asarray(color)
+        if (req.width, req.height) != (w, h):
+            img = np.asarray(Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+                    (req.width, req.height))) / 255.0
+        return img
+
+    try:
+        while True:
+            served = server.poll(render_fn)
+            del served
+            if server.conn is None:
+                time.sleep(0.05)
+    except KeyboardInterrupt:
+        print("viewer: stopped")
+    finally:
+        server.close()
     return 0
 
 
