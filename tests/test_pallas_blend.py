@@ -71,6 +71,58 @@ def test_pallas_gradients_match_oracle(rng):
                                    err_msg=f"grad mismatch for {k}")
 
 
+def test_multichunk_saturation(rng):
+    """Tiles with MULTIPLE 128-lane chunks and mid-list saturation: 420
+    overlapping gaussians concentrated on a few central tiles force
+    nchunks >= 3 with opaque front gaussians, exercising the while-loop
+    double-buffering, the saturation early-exit + prefetch drain, and the
+    backward's ncon-bounded back-to-front walk — paths single-chunk test
+    scenes (p <= 56) never reach in interpreter mode."""
+    p = 420
+    scene = random_scene(rng, p=p)
+    # Cluster everything over the image center; front third near-opaque.
+    scene["means3d"][:, 0] = rng.uniform(-0.25, 0.25, p)
+    scene["means3d"][:, 1] = rng.uniform(-0.25, 0.25, p)
+    scene["means3d"][:, 2] = rng.uniform(2.0, 6.0, p)
+    scene["opacity"][:] = rng.uniform(0.3, 0.95, p)
+    front = scene["means3d"][:, 2] < 3.0
+    scene["opacity"][front] = 0.99
+    scene = _as_jnp(scene)
+    cam = look_at_camera(width=OPTS.width, height=OPTS.height).arrays()
+    bg = jnp.asarray([0.2, 0.4, 0.6], jnp.float32)
+    kw = dict(capacity=16384, max_per_tile=1024, chunk=32)
+
+    out_x = render(**scene, camera=cam, bg=bg, opts=OPTS, backend="xla",
+                   **kw)
+    out_p = render(**scene, camera=cam, bg=bg, opts=OPTS,
+                   backend="pallas_interpret", **kw)
+    # Sanity: the center tile really is multi-chunk deep and saturated.
+    assert int(out_x.max_per_tile) > 2 * 128
+    assert float(np.asarray(out_x.alpha)[20:28, 16:24].min()) > 0.999
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_x.color), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_p.alpha),
+                               np.asarray(out_x.alpha), rtol=2e-4,
+                               atol=2e-5)
+
+    diff = {k: scene[k] for k in ("means3d", "opacity", "sh", "scales")}
+    aux = {k: scene[k] for k in scene if k not in diff}
+
+    def loss(d, backend):
+        out = render(**d, **aux, camera=cam, bg=bg, opts=OPTS,
+                     backend=backend, **kw)
+        return jnp.sum(out.color ** 2) + 0.3 * jnp.sum(out.depth)
+
+    g_p = jax.grad(lambda d: loss(d, "pallas_interpret"))(diff)
+    g_x = jax.grad(lambda d: loss(d, "xla"))(diff)
+    for k in diff:
+        a, b = np.asarray(g_p[k]), np.asarray(g_x[k])
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-4,
+                                   err_msg=f"multichunk grad {k}")
+
+
 def test_empty_tiles_interleaved(rng):
     """Tiles with ZERO instances at the start, middle, and end of the
     grid — the edge cases of the kernels' cross-tile chunk-0 prefetch
