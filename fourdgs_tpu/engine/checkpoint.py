@@ -21,7 +21,13 @@ from ..models.gaussians import GaussianState
 
 
 def save_checkpoint(path: str, gauss: GaussianState,
-                    env: EnvMapState | None, step: int, extra=None) -> None:
+                    env: EnvMapState | None, step: int, extra=None,
+                    io_pool=None):
+    """Atomic checkpoint save. With `io_pool` (an Executor), the
+    device->host fetch happens synchronously (cheap, overlaps the async
+    dispatch queue) but pickling + disk IO — seconds for a densified
+    multi-100MB cloud — run in the background; returns the Future (orbax
+    async-checkpoint pattern). Atomicity via tmp + os.replace either way."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "gauss": jax.tree.map(np.asarray, gauss),
@@ -29,10 +35,17 @@ def save_checkpoint(path: str, gauss: GaussianState,
         "step": int(step),
         "extra": extra or {},
     }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=4)
-    os.replace(tmp, path)
+
+    def write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=4)
+        os.replace(tmp, path)
+
+    if io_pool is not None:
+        return io_pool.submit(write)
+    write()
+    return None
 
 
 def load_checkpoint(path: str):

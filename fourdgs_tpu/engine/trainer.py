@@ -164,6 +164,9 @@ class Trainer:
         self._step_fn = None
         self._eval_fn = None
         self._io_pool = ThreadPoolExecutor(max_workers=8)
+        # Dedicated single worker so queued checkpoint writes to the same
+        # path land in submission order.
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
         self._inflight = deque()   # (it, num_rendered, max_per_tile) probes
         self.metrics_log = MetricsLogger(cfg.model.model_path)
         # TensorBoard event file in the model dir (the reference's
@@ -246,13 +249,18 @@ class Trainer:
         if self.verbose:
             print(f"[fourdgs] {msg}", flush=True)
 
-    def save(self, path: str):
+    def save(self, path: str, sync: bool = True):
+        """Checkpoint to `path`. With sync=False the multi-100MB pickle +
+        disk write runs on a single-worker background thread (write order
+        preserved; the train loop uses this so saves don't stall
+        stepping) — `wait_for_saves()` joins them."""
         ckpt_lib.save_checkpoint(
             path, self.gauss, self.env, self.step,
             extra={"best_psnr": self.best_psnr,
                    # sampler + split RNG state -> bit-exact resume
                    "np_rng_state": self.rng.bit_generator.state,
-                   "jax_key": np.asarray(self.key)})
+                   "jax_key": np.asarray(self.key)},
+            io_pool=None if sync else self._ckpt_pool)
 
     def load(self, path: str):
         if path.endswith(".pth"):
@@ -635,11 +643,19 @@ class Trainer:
                         self.best_psnr = psnr
                         if self.cfg.model.model_path:
                             self.save(os.path.join(
-                                self.cfg.model.model_path, "chkpnt_best.pkl"))
+                                self.cfg.model.model_path,
+                                "chkpnt_best.pkl"), sync=False)
                 if it in save_iters and self.cfg.model.model_path:
                     self.save(os.path.join(
-                        self.cfg.model.model_path, f"chkpnt{it}.pkl"))
+                        self.cfg.model.model_path, f"chkpnt{it}.pkl"),
+                        sync=False)
+        self.wait_for_saves()
         return self.gauss
+
+    def wait_for_saves(self):
+        """Join all queued background checkpoint writes."""
+        self._ckpt_pool.shutdown(wait=True)
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
 
     def _dump_debug_snapshot(self, it, arrays, gt, alpha, intr):
         """Non-finite-loss input dump (reference snapshot_fw.dump,
