@@ -505,6 +505,17 @@ class Trainer:
                          f"capacity growth stalled at {capacity}; new "
                          "points beyond capacity were dropped this event")
         self.gauss = new_gauss
+        # Heavy pruning leaves the (capacity-static) sort/reduce stages
+        # paying peak cost — shrink when the padded target falls under
+        # half the current capacity (hysteresis avoids recompile thrash).
+        n_act = int(self.gauss.n_active)
+        capacity = self.gauss.params.xyz.shape[0]
+        target = max(1024, capacity_for(n_act, self.cfg.capacity_slack))
+        if target <= capacity // 2:
+            self.gauss = dz.shrink_capacity(self.gauss, target)
+            self.log(f"cloud capacity -> {target} (shrunk after prune)")
+            self._step_fn = None
+            self._eval_fn = None
         return info
 
     # ------------------------------------------------------------- train

@@ -303,3 +303,33 @@ def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
         denom=pad(state.denom),
         max_radii2d=pad(state.max_radii2d),
     )
+
+
+def shrink_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Host-side capacity SHRINK (recompile boundary) — the inverse of
+    grow_capacity, for after the densify window when pruning has left
+    n_active far below capacity: every downstream stage (preprocess,
+    sort, grad reduce) is capacity-static, so a pruned cloud keeps paying
+    peak-capacity cost until the shapes shrink. Live rows are always the
+    compacted prefix (densify_and_prune's cumsum compaction), so this is
+    a pure slice. No-op if the new capacity would drop live rows."""
+    old = state.params.xyz.shape[0]
+    if new_capacity >= old or new_capacity < int(state.n_active):
+        return state
+
+    def cut(a):
+        if a.ndim == 0 or a.shape[0] != old:
+            return a
+        return a[:new_capacity]
+
+    cut_params = lambda p: GaussianParams(*[cut(x) for x in p])  # noqa: E731
+    return GaussianState(
+        params=cut_params(state.params),
+        adam=AdamState(cut_params(state.adam.mu), cut_params(state.adam.nu),
+                       state.adam.count),
+        n_active=state.n_active,
+        xyz_grad_accum=cut(state.xyz_grad_accum),
+        t_grad_accum=cut(state.t_grad_accum),
+        denom=cut(state.denom),
+        max_radii2d=cut(state.max_radii2d),
+    )

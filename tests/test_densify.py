@@ -150,3 +150,25 @@ def test_overflow_reports_needed():
         st, jax.random.PRNGKey(0), jnp.float32(100.0), cfg=CFG)
     assert int(info.n_needed) == 16
     assert int(new.n_active) == 9  # clipped; host grows + retries
+
+
+def test_shrink_capacity_preserves_prefix():
+    state = _make_state(n=8, capacity=64)
+    # Stamp recognizable Adam/stat values on the live prefix.
+    state = state._replace(
+        adam=state.adam._replace(
+            mu=state.adam.mu._replace(
+                xyz=state.adam.mu.xyz.at[:8].set(1.5))),
+        denom=state.denom.at[:8].set(3.0))
+    small = dz.shrink_capacity(state, 16)
+    assert small.params.xyz.shape[0] == 16
+    assert int(small.n_active) == 8
+    for f in small.params._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(small.params, f))[:8],
+            np.asarray(getattr(state.params, f))[:8], err_msg=f)
+    np.testing.assert_array_equal(np.asarray(small.adam.mu.xyz)[:8], 1.5)
+    np.testing.assert_array_equal(np.asarray(small.denom)[:8], 3.0)
+    # Refuses to drop live rows or to "shrink" upward.
+    assert dz.shrink_capacity(state, 4) is state
+    assert dz.shrink_capacity(state, 128) is state
