@@ -514,8 +514,15 @@ class Trainer:
         if target <= capacity // 2:
             self.gauss = dz.shrink_capacity(self.gauss, target)
             self.log(f"cloud capacity -> {target} (shrunk after prune)")
+            # Reset the instance/tile budgets to the small-cloud formula
+            # and let the probe re-grow them to what the shrunk cloud
+            # actually renders (budgets otherwise only ratchet up).
+            self.inst_capacity = _round_up(
+                4 * max(n_act, 1) * self.cfg.instance_slack, 65536)
+            self.tile_capacity = 2048
             self._step_fn = None
             self._eval_fn = None
+            self._probe_and_grow()
         return info
 
     # ------------------------------------------------------------- train
