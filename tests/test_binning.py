@@ -1,0 +1,110 @@
+"""Direct property tests for the tile-binning layer (ops/binning.py):
+the one-sort K-aligned layout must describe EXACTLY the same per-tile
+depth-ordered instance lists as the plain sorted expansion, for random
+rect/depth populations including empty tiles, duplicate depths, and
+whole-gaussian capacity truncation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourdgs_tpu.ops import binning
+from fourdgs_tpu.ops.preprocess import ProcessedGaussians, RenderOptions
+
+OPTS = RenderOptions(height=48, width=64, gaussian_dim=4, rot_4d=True,
+                     time_duration=1.0)  # 3x4 = 12 tiles
+
+
+def _proc(rng, p, tiles_x=4, tiles_y=3, dup_depths=False):
+    """Random rect/depth population; only fields binning reads matter."""
+    x0 = rng.integers(0, tiles_x, p)
+    y0 = rng.integers(0, tiles_y, p)
+    x1 = np.minimum(x0 + rng.integers(1, 3, p), tiles_x)
+    y1 = np.minimum(y0 + rng.integers(1, 3, p), tiles_y)
+    rect = np.stack([x0, y0, x1, y1], axis=1).astype(np.int32)
+    tiles = ((x1 - x0) * (y1 - y0)).astype(np.int32)
+    # Random cull: some gaussians touch no tile at all.
+    culled = rng.random(p) < 0.2
+    tiles[culled] = 0
+    rect[culled] = 0
+    depth = (rng.integers(1, 4, p).astype(np.float32) if dup_depths
+             else rng.uniform(0.5, 9.0, p).astype(np.float32))
+    z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+    return ProcessedGaussians(
+        xy=z(p, 2), depth=jnp.asarray(depth), conic=z(p, 3), opacity=z(p),
+        rgb=z(p, 3), flow=z(p, 2),
+        radius=jnp.asarray((tiles > 0).astype(np.int32)),
+        rect=jnp.asarray(rect), tiles_touched=jnp.asarray(tiles),
+        visible=jnp.asarray(tiles > 0), means3d=z(p, 3), cov3d=z(p, 6))
+
+
+def _naive_tile_lists(proc, num_tiles, tiles_x, limit):
+    """Oracle: python expansion -> per-tile stable (depth, slot) order."""
+    rect = np.asarray(proc.rect)
+    depth = np.asarray(proc.depth)
+    tiles = np.asarray(proc.tiles_touched)
+    entries = []            # (tile, depth, slot, gid)
+    slot = 0
+    for g in range(rect.shape[0]):
+        if tiles[g] == 0:
+            continue
+        x0, y0, x1, y1 = rect[g]
+        for ty in range(y0, y1):
+            for tx in range(x0, x1):
+                entries.append(((ty * tiles_x + tx), depth[g], slot, g))
+                slot += 1
+    entries = [e for e in entries if e[2] < limit]
+    out = {t: [] for t in range(num_tiles)}
+    for t, d, s, g in sorted(entries, key=lambda e: (e[0], e[1], e[2])):
+        out[t].append((g, s))
+    return out
+
+
+@pytest.mark.parametrize("dup_depths", [False, True])
+@pytest.mark.parametrize("p", [1, 17, 120])
+def test_aligned_matches_naive(rng, p, dup_depths):
+    k = 8
+    capacity = 512
+    proc = _proc(rng, p, dup_depths=dup_depths)
+    ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k)
+    want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, capacity)
+
+    gid = np.asarray(ab.gauss_id)
+    slot = np.asarray(ab.slot)
+    start = np.asarray(ab.tile_start)
+    count = np.asarray(ab.tile_count)
+    assert int(ab.num_rendered) == sum(len(v) for v in want.values())
+    for t in range(OPTS.num_tiles):
+        assert start[t] % k == 0, "tile range not K-aligned"
+        got = [(int(gid[i]), int(slot[i]))
+               for i in range(start[t], start[t] + count[t])]
+        assert got == want[t], f"tile {t} mismatch"
+    # The slot column is a permutation of [0, rp).
+    assert np.array_equal(np.sort(slot), np.arange(slot.shape[0]))
+
+
+def test_aligned_whole_gaussian_truncation(rng):
+    """Over capacity: later gaussians' instances drop as WHOLE gaussians
+    and num_rendered still reports the true (pre-drop) count."""
+    k = 8
+    p = 120
+    proc = _proc(rng, p)
+    full = binning.bin_gaussians_aligned(proc, OPTS, 4096, k)
+    true_n = int(full.num_rendered)
+    capacity = max(8, true_n // 3)
+    ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k)
+    assert int(ab.num_rendered) == true_n          # overflow signal intact
+    # Included instances = the longest whole-gaussian prefix <= capacity.
+    offsets = np.cumsum(np.asarray(proc.tiles_touched))
+    n_eff = 0
+    for g in range(p):
+        if offsets[g] <= capacity:
+            n_eff = offsets[g]
+    assert int(np.asarray(ab.tile_count).sum()) == n_eff
+    want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, n_eff)
+    gid = np.asarray(ab.gauss_id)
+    start = np.asarray(ab.tile_start)
+    count = np.asarray(ab.tile_count)
+    for t in range(OPTS.num_tiles):
+        got = [int(gid[i]) for i in range(start[t], start[t] + count[t])]
+        assert got == [g for g, _ in want[t]], f"tile {t}"
