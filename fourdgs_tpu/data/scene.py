@@ -219,6 +219,11 @@ def build_synthetic_pointcloud(
                          colors=colors.astype(np.float32),
                          normals=np.zeros((num_pts, 3), np.float32))
         write_ply(ply_path, pcd.points, pcd.colors * 255)
+        # Re-read the (uint8-quantized) ply like the reference does
+        # (`dataset_readers.py:333-340` storePly -> fetchPly) — otherwise
+        # the FIRST run trains on unquantized colors and every later run
+        # on the ply, breaking same-seed determinism across runs.
+        pcd = read_ply(ply_path)
 
     if pcd.points.shape[0] > num_pts:
         mask = rng.integers(0, pcd.points.shape[0], num_pts)

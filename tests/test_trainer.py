@@ -165,3 +165,26 @@ def test_trainer_uses_sharded_step_on_mesh(tmp_path):
     tr.train(on_step=lambda it, m: losses.append(float(m.loss)))
     assert any("sharded train step over 8 devices" in m for m in logs)
     assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_seed_determinism(tmp_path):
+    """Same seed -> bit-identical loss trajectory and final parameters
+    across two independent Trainer instances (reference safe_state
+    seeding, train.py:347-352; here the whole step is jitted XLA, so
+    determinism is exact, not just statistical)."""
+    _write_scene(tmp_path)
+
+    def run():
+        cfg = _config(tmp_path)
+        cfg.model.model_path = ""          # no artifacts
+        cfg.test_iterations = []
+        cfg.optimization.iterations = 12
+        tr = Trainer(cfg, verbose=False)
+        losses = []
+        tr.train(on_step=lambda it, m: losses.append(float(m.loss)))
+        return losses, np.asarray(tr.gauss.params.xyz)
+
+    l1, x1 = run()
+    l2, x2 = run()
+    assert l1 == l2                        # bit-exact trajectory
+    np.testing.assert_array_equal(x1, x2)
