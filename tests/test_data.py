@@ -143,3 +143,42 @@ def test_colmap_scene(tmp_path):
     info2 = scene_lib.load_scene(str(tmp_path), eval_holdout=True,
                                  resolution=1)
     assert len(info2.test_cameras) == 1 and len(info2.train_cameras) == 1
+
+
+def test_colmap_parser_matches_reference_loader(tmp_path):
+    """Parse the same binary model with the REFERENCE's colmap_loader
+    (read-only import) and with ours — identical camera/image/point
+    records (cross-validates both the fixture and the rewrite)."""
+    import importlib.util
+    ref_path = "/root/reference/scene/colmap_loader.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_colmap", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    sparse = str(tmp_path / "sparse" / "0")
+    _write_colmap_model(sparse)
+
+    ref_cams = ref.read_intrinsics_binary(os.path.join(sparse, "cameras.bin"))
+    ref_imgs = ref.read_extrinsics_binary(os.path.join(sparse, "images.bin"))
+    ref_xyz, ref_rgb, ref_err = ref.read_points3D_binary(
+        os.path.join(sparse, "points3D.bin"))
+
+    cams, imgs = colmap_io.read_model(sparse)
+    xyz, rgb, err = colmap_io.read_points3d(sparse)
+
+    assert set(cams) == set(ref_cams) and set(imgs) == set(ref_imgs)
+    for cid, rc in ref_cams.items():
+        assert cams[cid].model == rc.model
+        assert cams[cid].width == rc.width and cams[cid].height == rc.height
+        np.testing.assert_allclose(cams[cid].params, rc.params)
+    for iid, ri in ref_imgs.items():
+        np.testing.assert_allclose(imgs[iid].qvec, ri.qvec)
+        np.testing.assert_allclose(imgs[iid].tvec, ri.tvec)
+        assert imgs[iid].name == ri.name
+        assert imgs[iid].camera_id == ri.camera_id
+    np.testing.assert_allclose(xyz, ref_xyz)
+    np.testing.assert_array_equal(rgb, ref_rgb)
+    np.testing.assert_allclose(err.reshape(-1), ref_err.reshape(-1))
