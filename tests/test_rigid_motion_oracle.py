@@ -58,7 +58,7 @@ def test_rigid_motion_match_reference_formula(rng, monkeypatch):
 
     # ---- torch oracle on the ACTIVATED parameters -------------------
     act = activate(gauss.params, gauss.n_active)
-    xyz = torch.from_numpy(np.asarray(act.means3d))[:n]
+    xyz = torch.from_numpy(np.asarray(act.means3d).copy())[:n]
     scales = torch.from_numpy(np.asarray(act.scales))[:n]
     scales_t = torch.from_numpy(np.asarray(act.scales_t))[:n, None]
     rots = torch.from_numpy(np.asarray(act.rotations))[:n]
