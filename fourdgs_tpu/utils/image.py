@@ -29,11 +29,15 @@ def mkdir_p(folder_path: str) -> None:
     os.makedirs(folder_path, exist_ok=True)
 
 
-def search_for_max_iteration(folder: str) -> int:
+def search_for_max_iteration(folder: str, prefix: str = "") -> int:
     """Largest numeric suffix among checkpoint-like names in `folder`
-    (`system_utils.py:24-26` — accepts both name_<N> and name<N>.ext)."""
+    (`system_utils.py:24-26` — accepts both name_<N> and name<N>.ext).
+    `prefix` restricts candidates (e.g. "chkpnt" — a model dir also holds
+    numerically-suffixed TensorBoard event files)."""
     best = None
     for fname in os.listdir(folder):
+        if prefix and not fname.startswith(prefix):
+            continue
         stem = os.path.splitext(fname)[0]
         digits = ""
         for ch in reversed(stem):

@@ -19,7 +19,12 @@ import os
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint path (.pkl, or a reference .pth)")
+    ap.add_argument("--load_iteration", type=int, default=None,
+                    help="resolve chkpnt<N>.pkl from the config's "
+                         "model_path; -1 = latest (reference Scene "
+                         "load_iteration, scene/__init__.py:40-47)")
     ap.add_argument("--split", default="test", choices=["test", "train"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--max_views", type=int, default=0)
@@ -53,11 +58,23 @@ def main(argv=None):
     from fourdgs_tpu.utils import losses as loss_lib
     import jax.numpy as jnp
 
+    cfg = load_config(args.config)
+    if args.checkpoint is None:
+        if args.load_iteration is None or not cfg.model.model_path:
+            print("error: --checkpoint or --load_iteration (with a "
+                  "model_path in the config) required",
+                  file=__import__("sys").stderr)
+            return 2
+        from fourdgs_tpu.utils.image import search_for_max_iteration
+        it = (search_for_max_iteration(cfg.model.model_path, "chkpnt")
+              if args.load_iteration < 0 else args.load_iteration)
+        args.checkpoint = os.path.join(cfg.model.model_path,
+                                       f"chkpnt{it}.pkl")
+        print(f"loading iteration {it}: {args.checkpoint}")
     if not os.path.exists(args.checkpoint):
         print(f"error: checkpoint not found: {args.checkpoint}",
               file=__import__("sys").stderr)
         return 2
-    cfg = load_config(args.config)
     trainer = Trainer(cfg)
     trainer.load(args.checkpoint)
 
