@@ -278,13 +278,33 @@ def aligned_entry_grads_to_gaussian_grads(
     ~10x the HBM traffic. Returns (P, C) f32."""
     c, rp = entry_grads_fm.shape
     live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
-    cols = []
-    for i in range(c):
-        col = jnp.where(live, entry_grads_fm[i], 0.0)
-        cols.append(col.astype(jnp.bfloat16) if fast else col)
-    sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
-    stacked = jnp.stack(
-        [s[:capacity].astype(jnp.float32) for s in sorted_[1:]], axis=0)
+    cols = [jnp.where(live, entry_grads_fm[i], 0.0) for i in range(c)]
+    if fast:
+        # Sort cost scales with operand count: pack bf16 PAIRS into u32
+        # payload columns (5 payloads instead of 10 for the blend grads).
+        packed = []
+        for i in range(0, c, 2):
+            hi = jax.lax.bitcast_convert_type(
+                cols[i].astype(jnp.bfloat16),
+                jnp.uint16).astype(jnp.uint32) << 16
+            lo = (jax.lax.bitcast_convert_type(
+                cols[i + 1].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32) if i + 1 < c else jnp.uint32(0))
+            packed.append(hi | lo)
+        sorted_ = jax.lax.sort((abins.slot,) + tuple(packed), num_keys=1)
+        rows = []
+        for i, s in enumerate(sorted_[1:]):
+            s = s[:capacity]
+            rows.append(jax.lax.bitcast_convert_type(
+                (s >> 16).astype(jnp.uint16), jnp.bfloat16))
+            if 2 * i + 1 < c:
+                rows.append(jax.lax.bitcast_convert_type(
+                    s.astype(jnp.uint16), jnp.bfloat16))
+        stacked = jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
+    else:
+        sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
+        stacked = jnp.stack(
+            [s[:capacity] for s in sorted_[1:]], axis=0)
     csum = jnp.cumsum(stacked, axis=1)            # (C, R) f32
     hi = jnp.minimum(abins.offsets, capacity) - 1
     lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),

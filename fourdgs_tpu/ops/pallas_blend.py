@@ -128,6 +128,21 @@ def _mm(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _mm_exact_rhs(a, b):
+    """f32-accurate matmul for a RHS that is EXACT in bf16 (the 0/1
+    triangular masks): split only the LHS into its exact 3-term bf16
+    decomposition (8+8+8 mantissa bits) -> 3 MXU passes instead of
+    HIGHEST's 6 (which splits BOTH operands). Accuracy equals HIGHEST up
+    to f32 accumulation order."""
+    a0 = a.astype(jnp.bfloat16)
+    r1 = a - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
+    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(a0, bb) + (dot(a1, bb) + dot(a2, bb))
+
+
 def _mm_fast(a, b):
     """Default-precision matmul for threshold-only chains (fail/dead)
     where bf16 error can only flip borderline 1e-4 comparisons."""
@@ -211,7 +226,7 @@ def _forward_kernel(cfg: PallasBlendConfig):
             # same boundary sequentially (forward.cu:592-596).
             a_v = jnp.where(valid, alpha, 0.0)
             lcv = jnp.log1p(-a_v)
-            q = t_tr * jnp.exp(_mm(lcv, tri_cum))      # (256, K)
+            q = t_tr * jnp.exp(_mm_exact_rhs(lcv, tri_cum))  # (256, K)
             fail = valid & (q < gm.T_EPS)
             used = valid & ~fail
             a_u = jnp.where(fail, 0.0, a_v)
@@ -312,6 +327,21 @@ def _backward_kernel(cfg: PallasBlendConfig):
         px, py = _pixel_coords(cfg, t)
         tri_suf = _tri_suf_incl()
         tri_suf_x = _tri_suf_excl()
+
+        # Tile-LOCAL pixel-moment basis (6, 256): rows {1, px, py, px^2,
+        # px*py, py^2} with px, py in [0, 16) — the per-gaussian conic/
+        # position gradient sums become ONE MXU contraction of this basis
+        # against d_power (see body), and local coordinates keep the
+        # binomial-expansion cancellation ratio O(1) (global pixel coords
+        # up to ~800 would cost ~12 bits).
+        ppix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+        plx = (ppix % TILE).astype(jnp.float32)            # (1, 256)
+        ply = (ppix // TILE).astype(jnp.float32)
+        basis = jnp.concatenate([
+            jnp.ones((1, PIX), jnp.float32), plx, ply,
+            plx * plx, plx * ply, ply * ply], axis=0)      # (6, 256)
+        tx = (t % cfg.tiles_x).astype(jnp.float32) * TILE  # tile origin
+        ty = (t // cfg.tiles_x).astype(jnp.float32) * TILE
 
         # dcot block (1, 8, 256) channel-major: rows = dc(6) + tf_term +
         # pad; T_final and ncon come straight from the forward kernel's
@@ -423,7 +453,7 @@ def _backward_kernel(cfg: PallasBlendConfig):
             cu = 1.0 - a_u
             lcu = jnp.log1p(-a_u)
             # rp[j] = prod_{k >= j} cu[k] (inclusive suffix product).
-            s_suf = _mm(lcu, tri_suf)
+            s_suf = _mm_exact_rhs(lcu, tri_suf)
             t_before = t_run * jnp.exp(-s_suf)         # (256, K)
             w = a_u * t_before
 
@@ -431,23 +461,40 @@ def _backward_kernel(cfg: PallasBlendConfig):
             # contracting the channel axis of both channel-major operands.
             gdot = _dgc(dc6, inst[6:12, :], 0, 0)
             phi = w * gdot
-            suffix_excl = _mm(phi, tri_suf_x) + sigma
+            suffix_excl = _mm_exact_rhs(phi, tri_suf_x) + sigma
             d_alpha = jnp.where(
                 used, t_before * gdot - (suffix_excl + tf_term) / cu, 0.0)
 
             d_power = alpha_raw * d_alpha
             # d_feat[f, k] = sum_p dc_f[p] w[p, k]: MXU contraction over
-            # the pixel (sublane) axis; other per-gaussian reductions stay
-            # cheap sublane reduces.
+            # the pixel (sublane) axis.
             d_feat6 = _dgc(dc6, w, 1, 0)               # (6, K)
-            d_opa = jnp.sum(g * d_alpha, axis=0, keepdims=True)
-            d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)
-            d_cb = jnp.sum(-dx * dy * d_power, axis=0, keepdims=True)
-            d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
-            d_x = jnp.sum(-(ca * dx + cb * dy) * d_power, axis=0,
-                          keepdims=True)
-            d_y = jnp.sum(-(cb * dx + cc * dy) * d_power, axis=0,
-                          keepdims=True)
+            # All remaining per-gaussian sums are pixel moments of
+            # d_power: with dx = xl - plx (xl = gaussian x in tile-local
+            # coords), sum_p dx^2 d_power expands binomially into the
+            # moments M = basis @ d_power — ONE (6,256)@(256,K) MXU
+            # contraction replaces five (256,K) elementwise-product
+            # chains + six sublane reduction trees; the recombination is
+            # (1, K) row math on the VPU.
+            mom = _dgc(basis, d_power, 1, 0)           # (6, K)
+            m0 = mom[0:1, :]
+            xl = inst[0:1, :] - tx                     # (1, K) local coords
+            yl = inst[1:2, :] - ty
+            s_x = xl * m0 - mom[1:2, :]                # sum dx * d_power
+            s_y = yl * m0 - mom[2:3, :]
+            s_xx = xl * (xl * m0 - 2.0 * mom[1:2, :]) + mom[3:4, :]
+            s_xy = xl * yl * m0 - xl * mom[2:3, :] - yl * mom[1:2, :] \
+                + mom[4:5, :]
+            s_yy = yl * (yl * m0 - 2.0 * mom[2:3, :]) + mom[5:6, :]
+            # d_power = opa * (g * d_alpha), opa constant per lane, so
+            # d_opa = sum(g * d_alpha) = M0 / opa (padding lanes have
+            # opa = 0 AND m0 = 0 -> guard the divide).
+            d_opa = m0 / jnp.maximum(opa, 1e-30)
+            d_ca = -0.5 * s_xx
+            d_cb = -s_xy
+            d_cc = -0.5 * s_yy
+            d_x = -(ca * s_x + cb * s_y)
+            d_y = -(cb * s_x + cc * s_y)
 
             @pl.when(i >= 2)
             def _():
