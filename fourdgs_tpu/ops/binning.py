@@ -169,9 +169,13 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
     all_slot = jnp.concatenate(
         [slots, capacity + jnp.arange(n_dummy, dtype=jnp.int32)])
 
-    _, _, gid_s, slot_s = jax.lax.sort(
-        (all_tile, all_depth, all_gid, all_slot), num_keys=2,
-        is_stable=True)
+    # slot (the pre-sort expansion index, unique) as an explicit third
+    # key reproduces the stable (tile, depth) order exactly — XLA's
+    # stable sort would append a hidden iota operand for the same
+    # tie-break; keying on slot drops that extra sorted column.
+    _, _, slot_s, gid_s = jax.lax.sort(
+        (all_tile, all_depth, all_slot, all_gid), num_keys=3,
+        is_stable=False)
 
     return AlignedBins(
         gauss_id=gid_s,
@@ -233,8 +237,10 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
     depth = jnp.where(valid, proc.depth[owner_c], jnp.inf).astype(jnp.float32)
     gid = jnp.where(valid, owner_c, 0).astype(jnp.int32)
 
-    tile_s, _, gid_s, slot_s = jax.lax.sort(
-        (tile, depth, gid, slots), num_keys=2, is_stable=True)
+    # slots is unique — keying on it reproduces the stable order without
+    # XLA's hidden stability iota (see bin_gaussians_aligned).
+    tile_s, _, slot_s, gid_s = jax.lax.sort(
+        (tile, depth, slots, gid), num_keys=3, is_stable=False)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
@@ -255,6 +261,34 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
 def aligned_capacity(capacity: int, num_tiles: int, k: int) -> int:
     """Static padded-instance capacity for chunk-aligned layout."""
     return capacity + num_tiles * k
+
+
+def _cumsum_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum of (C, R) f32 along axis 1 via 128-lane MXU
+    blocks + a short inter-block carry chain.
+
+    XLA lowers a plain jnp.cumsum to ~log2(R) full passes over the array
+    (profiled 3.4 ms at (10, 786k)); one triangular-matmul pass + a
+    4096x-smaller block-total cumsum reads the data twice (1.8 ms).
+    HIGHEST precision keeps the 0/1-RHS products exact; accumulation
+    order differs from the sequential scan by f32 rounding only."""
+    c, r = x.shape
+    rpad = (-r) % 128
+    if rpad:
+        x = jnp.pad(x, ((0, 0), (0, rpad)))
+    blocks = x.shape[1] // 128
+    xb = x.reshape(c, blocks, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (row <= col).astype(jnp.float32)
+    intra = jax.lax.dot_general(
+        xb, tri, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (C, B, 128)
+    tot = intra[:, :, -1]                             # (C, B)
+    carry = jnp.cumsum(tot, axis=1) - tot
+    out = intra + carry[:, :, None]
+    return out.reshape(c, -1)[:, :r]
 
 
 def aligned_entry_grads_to_gaussian_grads(
@@ -305,7 +339,7 @@ def aligned_entry_grads_to_gaussian_grads(
         sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
         stacked = jnp.stack(
             [s[:capacity] for s in sorted_[1:]], axis=0)
-    csum = jnp.cumsum(stacked, axis=1)            # (C, R) f32
+    csum = _cumsum_lanes(stacked)                 # (C, R) f32
     hi = jnp.minimum(abins.offsets, capacity) - 1
     lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                       abins.offsets[:-1]]), capacity) - 1

@@ -62,6 +62,18 @@ class PallasBlendConfig(NamedTuple):
     # TPU gather cost scales with bytes). ~0.4% per-instance rounding that
     # averages out over a gaussian's instances; OFF for parity tests.
     fast_grad_reduce: bool = False
+    # bf16-split term count for the in-kernel triangular log-cumsum
+    # matmuls (see _mm_exact_rhs): 3 = full f32 mantissa, 2 = 16 bits
+    # (~|log T|*2^-17 relative error in the transmittance chain;
+    # measured at bench shape: max image diff 1.5e-5, max relative
+    # grad diff 2.3e-5 vs terms=3 — scripts/probe_terms.py).
+    fwd_terms: int = 2
+    bwd_terms: int = 2
+    # Tiles processed per Pallas program: the fixed per-grid-step cost is
+    # ~1.05 us (measured, scripts/probe_kernel_overhead.py) while the
+    # average tile has only ~2-3 chunks of work, so one-tile programs
+    # spend >30% of kernel time on program overhead.
+    tiles_per_program: int = 4
 
     @property
     def num_tiles(self) -> int:
@@ -128,18 +140,22 @@ def _mm(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _mm_exact_rhs(a, b):
+def _mm_exact_rhs(a, b, terms: int = 3):
     """f32-accurate matmul for a RHS that is EXACT in bf16 (the 0/1
-    triangular masks): split only the LHS into its exact 3-term bf16
-    decomposition (8+8+8 mantissa bits) -> 3 MXU passes instead of
-    HIGHEST's 6 (which splits BOTH operands). Accuracy equals HIGHEST up
-    to f32 accumulation order."""
+    triangular masks): split only the LHS into its exact bf16-term
+    decomposition (8 mantissa bits per term) -> `terms` MXU passes
+    instead of HIGHEST's 6 (which splits BOTH operands). terms=3
+    reconstructs the full f32 mantissa (accuracy equals HIGHEST up to
+    f32 accumulation order); terms=2 keeps 16 mantissa bits (relative
+    error ~2^-17 per element of the sum)."""
     a0 = a.astype(jnp.bfloat16)
     r1 = a - a0.astype(jnp.float32)
     a1 = r1.astype(jnp.bfloat16)
-    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
     bb = b.astype(jnp.bfloat16)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if terms == 2:
+        return dot(a0, bb) + dot(a1, bb)
+    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
     return dot(a0, bb) + (dot(a1, bb) + dot(a2, bb))
 
 
@@ -158,26 +174,48 @@ def _dgc(a, b, contract_a: int, contract_b: int):
         precision=jax.lax.Precision.HIGHEST)
 
 
-def _transpose_mm(x):
+def _eye(n: int):
+    return (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            ).astype(jnp.float32)
+
+
+def _transpose_mm(x, eye=None):
     """(N, C) -> (C, N) inside the kernel via an MXU identity contraction
     (Mosaic has no cheap small-minor-dim VPU transpose). HIGHEST keeps the
     3-term bf16 split, which reconstructs f32 values (and integer-valued
-    ranks < 2^24) exactly."""
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (x.shape[0],) * 2, 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0],) * 2, 1)
-           ).astype(jnp.float32)
+    ranks < 2^24) exactly. Pass a hoisted `eye` when calling from a
+    per-tile loop body — constructing the (256, 256) identity costs real
+    VPU time at one call per tile."""
+    if eye is None:
+        eye = _eye(x.shape[0])
     return _dgc(x, eye, 0, 0)
 
 
 def _forward_kernel(cfg: PallasBlendConfig):
     def kernel(start_ref, count_ref, inst_hbm, out_ref, scratch, acc_ref,
                state_ref, sems):
-        t = pl.program_id(0)
+        g = pl.program_id(0)
+        tri_cum = _tri_cum_incl()
+        eye_pix = _eye(PIX)
+
+        def tile_body(tl, tile_carry):
+            _forward_tile(cfg, g * cfg.tiles_per_program + tl, tl, tri_cum,
+                          eye_pix, start_ref, count_ref, inst_hbm, out_ref,
+                          scratch, acc_ref, state_ref, sems)
+            return tile_carry
+
+        jax.lax.fori_loop(0, cfg.tiles_per_program, tile_body, 0)
+
+    return kernel
+
+
+def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
+                  inst_hbm, out_ref, scratch, acc_ref, state_ref, sems):
         start = start_ref[t]
         count = count_ref[t]
         nchunks = pl.cdiv(count, CHUNK)
         px, py = _pixel_coords(cfg, t)
-        tri_cum = _tri_cum_incl()
 
         # Per-pixel running state lives in VMEM scratch, not loop carries
         # (Mosaic's layout unifier rejects multi-vector while carries).
@@ -226,7 +264,8 @@ def _forward_kernel(cfg: PallasBlendConfig):
             # same boundary sequentially (forward.cu:592-596).
             a_v = jnp.where(valid, alpha, 0.0)
             lcv = jnp.log1p(-a_v)
-            q = t_tr * jnp.exp(_mm_exact_rhs(lcv, tri_cum))  # (256, K)
+            q = t_tr * jnp.exp(
+                _mm_exact_rhs(lcv, tri_cum, cfg.fwd_terms))  # (256, K)
             fail = valid & (q < gm.T_EPS)
             used = valid & ~fail
             a_u = jnp.where(fail, 0.0, a_v)
@@ -273,10 +312,20 @@ def _forward_kernel(cfg: PallasBlendConfig):
 
         st2 = jnp.concatenate(
             [state_ref[:, 0:1], state_ref[:, 2:3]], axis=1)    # (256, 2)
-        out_ref[0] = jnp.concatenate(
-            [acc_ref[0:FEAT], _transpose_mm(st2)], axis=0)     # (8, 256)
+        out_ref[tl] = jnp.concatenate(
+            [acc_ref[0:FEAT], _transpose_mm(st2, eye_pix)], axis=0)
 
-    return kernel
+
+def _pad_tiles(cfg: PallasBlendConfig, tile_start, tile_count):
+    """Pad the per-tile scalar arrays to a multiple of tiles_per_program.
+    Padding tiles get count 0 (the tile body becomes a no-op)."""
+    t_pad = (-cfg.num_tiles) % cfg.tiles_per_program
+    if t_pad:
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros((t_pad,), tile_start.dtype)])
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros((t_pad,), tile_count.dtype)])
+    return tile_start, tile_count, cfg.num_tiles + t_pad
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -284,14 +333,16 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
                          tile_start: jax.Array, tile_count: jax.Array):
     """inst_data: (16, Rp) field-major aligned layout. Returns
     (accum (T, 6, 256) channel-major, t_final (T, 256), ncontrib
-    (T, 256) i32, and the raw (T, 8, 256) kernel output — the backward
-    kernel consumes it directly, so saving it as a residual skips
-    re-assembling T/ncon)."""
+    (T, 256) i32, and the raw (Tp, 8, 256) kernel output, Tp = T padded
+    to the program tile block — the backward kernel consumes it
+    directly, so saving it as a residual skips re-assembling T/ncon)."""
+    tpb = cfg.tiles_per_program
+    ts, tc, t_tot = _pad_tiles(cfg, tile_start, tile_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cfg.num_tiles,),
+        grid=(t_tot // tpb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, OUT_COLS, PIX), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((tpb, OUT_COLS, PIX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
@@ -302,14 +353,14 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
     )
     out = pl.pallas_call(
         _forward_kernel(cfg),
-        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, OUT_COLS, PIX),
+        out_shape=jax.ShapeDtypeStruct((t_tot, OUT_COLS, PIX),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=cfg.interpret,
-    )(tile_start, tile_count, inst_data)
-    accum = out[:, 0:FEAT, :]
-    t_final = out[:, FEAT, :]
-    ncon = out[:, FEAT + 1, :].astype(jnp.int32)
+    )(ts, tc, inst_data)
+    accum = out[: cfg.num_tiles, 0:FEAT, :]
+    t_final = out[: cfg.num_tiles, FEAT, :]
+    ncon = out[: cfg.num_tiles, FEAT + 1, :].astype(jnp.int32)
     return accum, t_final, ncon, out
 
 
@@ -320,11 +371,7 @@ def _backward_kernel(cfg: PallasBlendConfig):
     def kernel(start_ref, count_ref, inst_hbm, fwdout_ref, dcot_ref,
                grad_hbm, scratch, gscratch, zscratch, state_ref, sems,
                gsems):
-        t = pl.program_id(0)
-        start = start_ref[t]
-        count = count_ref[t]
-        nchunks = pl.cdiv(count, CHUNK)
-        px, py = _pixel_coords(cfg, t)
+        g = pl.program_id(0)
         tri_suf = _tri_suf_incl()
         tri_suf_x = _tri_suf_excl()
 
@@ -333,13 +380,39 @@ def _backward_kernel(cfg: PallasBlendConfig):
         # position gradient sums become ONE MXU contraction of this basis
         # against d_power (see body), and local coordinates keep the
         # binomial-expansion cancellation ratio O(1) (global pixel coords
-        # up to ~800 would cost ~12 bits).
+        # up to ~800 would cost ~12 bits). Tile-independent, so hoisted
+        # out of the per-tile loop.
         ppix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
         plx = (ppix % TILE).astype(jnp.float32)            # (1, 256)
         ply = (ppix // TILE).astype(jnp.float32)
         basis = jnp.concatenate([
             jnp.ones((1, PIX), jnp.float32), plx, ply,
             plx * plx, plx * ply, ply * ply], axis=0)      # (6, 256)
+
+        # The zero block for tail DMAs never changes — write it once per
+        # program, not once per tile (it is a 128-vreg store).
+        zscratch[:] = jnp.zeros((ROW, ZBLK * CHUNK), jnp.float32)
+
+        def tile_body(tl, tile_carry):
+            _backward_tile(cfg, g * cfg.tiles_per_program + tl, tl,
+                           tri_suf, tri_suf_x, basis, start_ref, count_ref,
+                           inst_hbm, fwdout_ref, dcot_ref, grad_hbm,
+                           scratch, gscratch, zscratch, state_ref, sems,
+                           gsems)
+            return tile_carry
+
+        jax.lax.fori_loop(0, cfg.tiles_per_program, tile_body, 0)
+
+    return kernel
+
+
+def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
+                   count_ref, inst_hbm, fwdout_ref, dcot_ref, grad_hbm,
+                   scratch, gscratch, zscratch, state_ref, sems, gsems):
+        start = start_ref[t]
+        count = count_ref[t]
+        nchunks = pl.cdiv(count, CHUNK)
+        px, py = _pixel_coords(cfg, t)
         tx = (t % cfg.tiles_x).astype(jnp.float32) * TILE  # tile origin
         ty = (t // cfg.tiles_x).astype(jnp.float32) * TILE
 
@@ -348,11 +421,11 @@ def _backward_kernel(cfg: PallasBlendConfig):
         # saved output block (no XLA-side reassembly). The three per-pixel
         # rows are transposed to (256, 1) broadcast columns with ONE MXU
         # identity contraction per program.
-        dc6 = dcot_ref[0, 0:FEAT, :]                          # (6, 256)
+        dc6 = dcot_ref[tl, 0:FEAT, :]                         # (6, 256)
         rows3 = jnp.concatenate([
-            dcot_ref[0, FEAT: FEAT + 1, :],                   # tf_term
-            fwdout_ref[0, FEAT: FEAT + 1, :],                 # T_final
-            fwdout_ref[0, FEAT + 1: FEAT + 2, :],             # ncon ranks
+            dcot_ref[tl, FEAT: FEAT + 1, :],                  # tf_term
+            fwdout_ref[tl, FEAT: FEAT + 1, :],                # T_final
+            fwdout_ref[tl, FEAT + 1: FEAT + 2, :],            # ncon ranks
         ], axis=0)                                            # (3, 256)
         cols3 = _transpose_mm(rows3)                          # (256, 3)
         tf_term = cols3[:, 0:1]
@@ -371,7 +444,7 @@ def _backward_kernel(cfg: PallasBlendConfig):
         # (the old full walk wrote computed zeros there; the bounded walk
         # must write them explicitly — downstream grad-reduce reads every
         # aligned slice). Runs before the compute loop so gsems pair up.
-        zscratch[:] = jnp.zeros((ROW, ZBLK * CHUNK), jnp.float32)
+        # zscratch is pre-zeroed once per program by the kernel preamble.
 
         def zout(slot, c, width):
             off = pl.multiple_of(start + c * CHUNK, CHUNK)
@@ -453,7 +526,7 @@ def _backward_kernel(cfg: PallasBlendConfig):
             cu = 1.0 - a_u
             lcu = jnp.log1p(-a_u)
             # rp[j] = prod_{k >= j} cu[k] (inclusive suffix product).
-            s_suf = _mm_exact_rhs(lcu, tri_suf)
+            s_suf = _mm_exact_rhs(lcu, tri_suf, cfg.bwd_terms)
             t_before = t_run * jnp.exp(-s_suf)         # (256, K)
             w = a_u * t_before
 
@@ -461,7 +534,7 @@ def _backward_kernel(cfg: PallasBlendConfig):
             # contracting the channel axis of both channel-major operands.
             gdot = _dgc(dc6, inst[6:12, :], 0, 0)
             phi = w * gdot
-            suffix_excl = _mm_exact_rhs(phi, tri_suf_x) + sigma
+            suffix_excl = _mm_exact_rhs(phi, tri_suf_x, cfg.bwd_terms) + sigma
             d_alpha = jnp.where(
                 used, t_before * gdot - (suffix_excl + tf_term) / cu, 0.0)
 
@@ -522,25 +595,31 @@ def _backward_kernel(cfg: PallasBlendConfig):
         def _():
             dma_out((eff - 1) % 2, 0).wait()
 
-    return kernel
-
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
                           tile_start: jax.Array, tile_count: jax.Array,
                           fwd_out: jax.Array, dcot: jax.Array):
-    """fwd_out: the forward kernel's raw (T, 8, 256) output (carries
-    T_final + ncon). dcot: (T, 8, 256) channel-major = [dc(6), tf_term,
-    pad]. Returns per-instance gradient rows, field-major (16, Rp)."""
+    """fwd_out: the forward kernel's raw (Tp, 8, 256) output (carries
+    T_final + ncon; Tp = num_tiles padded to the program tile block).
+    dcot: (T, 8, 256) channel-major = [dc(6), tf_term, pad]. Returns
+    per-instance gradient rows, field-major (16, Rp)."""
     rp = inst_data.shape[1]
+    tpb = cfg.tiles_per_program
+    ts, tc, t_tot = _pad_tiles(cfg, tile_start, tile_count)
+    if fwd_out.shape[0] != t_tot:
+        fwd_out = jnp.pad(
+            fwd_out, ((0, t_tot - fwd_out.shape[0]), (0, 0), (0, 0)))
+    if dcot.shape[0] != t_tot:
+        dcot = jnp.pad(dcot, ((0, t_tot - dcot.shape[0]), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cfg.num_tiles,),
+        grid=(t_tot // tpb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, OUT_COLS, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, OUT_COLS, PIX), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_COLS, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, OUT_COLS, PIX), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -559,7 +638,7 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         grid_spec=grid_spec,
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_data, fwd_out, dcot)
+    )(ts, tc, inst_data, fwd_out, dcot)
 
 
 # ---------------------------------------------------------------------------
@@ -651,7 +730,7 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     from .blend import BlendConfig, _image_to_tiles
 
     inst, bg, abins, raw = res
-    t_final = raw[:, FEAT, :]
+    t_final = raw[: cfg.num_tiles, FEAT, :]   # raw rows are tpb-padded
     d_color, d_depth, d_flow, d_alpha = cots
     bc = BlendConfig(height=cfg.height, width=cfg.width,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
