@@ -74,6 +74,11 @@ class PallasBlendConfig(NamedTuple):
     # average tile has only ~2-3 chunks of work, so one-tile programs
     # spend >30% of kernel time on program overhead.
     tiles_per_program: int = 4
+    # bf16-split term budget for the backward kernel's three DATA matmuls
+    # (gdot, pixel-moment basis, d_feat): 0 = HIGHEST (6 passes, parity
+    # mode). (a, b) = split the cotangent/d_power operand into `a` bf16
+    # terms and the instance-data operand into `b` — see _mm_split.
+    bwd_dot_terms: tuple = ()
 
     @property
     def num_tiles(self) -> int:
@@ -172,6 +177,44 @@ def _dgc(a, b, contract_a: int, contract_b: int):
         a, b, (((contract_a,), (contract_b,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
+
+
+def _bf16_terms(x, n: int):
+    """Exact bf16-term decomposition of f32 `x` (8 mantissa bits/term)."""
+    terms = []
+    for _ in range(n - 1):
+        t = x.astype(jnp.bfloat16)
+        terms.append(t)
+        x = x - t.astype(jnp.float32)
+    terms.append(x.astype(jnp.bfloat16))
+    return terms
+
+
+def _mm_split(a, b, contract_a: int, contract_b: int,
+              terms: tuple):
+    """dot_general computed as (a_terms x b_terms) bf16 MXU passes.
+
+    terms = (na, nb): split `a` into na bf16 terms and `b` into nb.
+    (2, 1) keeps 16 mantissa bits of `a` against a rounded `b`
+    (~2^-9 relative); (2, 2) is ~2^-16; HIGHEST is the 3x3->6-pass
+    upper bound. Empty terms -> HIGHEST (parity mode)."""
+    if not terms:
+        return _dgc(a, b, contract_a, contract_b)
+    na, nb = terms
+    dims = (((contract_a,), (contract_b,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+    ta = _bf16_terms(a, na)
+    tb = _bf16_terms(b, nb)
+    out = None
+    # Highest-order product first; accumulate smaller corrections after.
+    for i, ai in enumerate(ta):
+        for j, bj in enumerate(tb):
+            if i + j >= max(na, nb):
+                continue  # below the kept mantissa budget
+            p = dot(ai, bj)
+            out = p if out is None else out + p
+    return out
 
 
 def _eye(n: int):
@@ -532,7 +575,7 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
 
             # gdot[p, k] = sum_f dc_f[p] * feat[f, k]: one MXU matmul
             # contracting the channel axis of both channel-major operands.
-            gdot = _dgc(dc6, inst[6:12, :], 0, 0)
+            gdot = _mm_split(dc6, inst[6:12, :], 0, 0, cfg.bwd_dot_terms)
             phi = w * gdot
             suffix_excl = _mm_exact_rhs(phi, tri_suf_x, cfg.bwd_terms) + sigma
             d_alpha = jnp.where(
@@ -541,7 +584,7 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
             d_power = alpha_raw * d_alpha
             # d_feat[f, k] = sum_p dc_f[p] w[p, k]: MXU contraction over
             # the pixel (sublane) axis.
-            d_feat6 = _dgc(dc6, w, 1, 0)               # (6, K)
+            d_feat6 = _mm_split(dc6, w, 1, 0, cfg.bwd_dot_terms)  # (6, K)
             # All remaining per-gaussian sums are pixel moments of
             # d_power: with dx = xl - plx (xl = gaussian x in tile-local
             # coords), sum_p dx^2 d_power expands binomially into the
@@ -549,7 +592,10 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
             # contraction replaces five (256,K) elementwise-product
             # chains + six sublane reduction trees; the recombination is
             # (1, K) row math on the VPU.
-            mom = _dgc(basis, d_power, 1, 0)           # (6, K)
+            # basis is integer-valued <= 225, EXACT in bf16 -> 1 term.
+            mom = _mm_split(
+                basis, d_power, 1, 0,
+                (1, cfg.bwd_dot_terms[0]) if cfg.bwd_dot_terms else ())
             m0 = mom[0:1, :]
             xl = inst[0:1, :] - tx                     # (1, K) local coords
             yl = inst[1:2, :] - ty

@@ -79,7 +79,12 @@ def render(
             height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
             tiles_y=opts.tiles_y,
             interpret=(backend == "pallas_interpret"),
-            fast_grad_reduce=fast_grad_reduce)
+            fast_grad_reduce=fast_grad_reduce,
+            # Production mode also drops the backward data matmuls from
+            # HIGHEST (6 MXU passes) to a (2,2)-term bf16 split (3
+            # passes, ~1e-5 relative — scripts/probe_bwd_dots.py);
+            # parity mode (fast_grad_reduce=False) keeps HIGHEST.
+            bwd_dot_terms=(2, 2) if fast_grad_reduce else ())
         color, depth_img, flow_img, alpha_img = pallas_blend.blend_pallas(
             pcfg, proc.xy, proc.conic, proc.opacity, feat, bg, abins)
         num_rendered, mpt = abins.num_rendered, abins.max_per_tile
