@@ -79,6 +79,13 @@ class PallasBlendConfig(NamedTuple):
     # mode). (a, b) = split the cotangent/d_power operand into `a` bf16
     # terms and the instance-data operand into `b` — see _mm_split.
     bwd_dot_terms: tuple = ()
+    # Chunks processed per loop step (lane width = unroll * CHUNK).
+    # Measured NEUTRAL-to-slightly-worse at bench shape (unroll=2 costs
+    # ~+0.4 ms on both kernels: the walk is VPU-bound per lane, not
+    # loop-overhead-bound, and 256-wide values pressure the register
+    # allocator) — kept at 1; the blockwise cumsum machinery stays for
+    # future shapes where tiles run deep.
+    unroll: int = 1
 
     @property
     def num_tiles(self) -> int:
@@ -170,6 +177,63 @@ def _mm_fast(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _prefix_blocks(x, tri_cum, terms):
+    """Inclusive prefix sum along the lane axis of (PIX, U*CHUNK) `x`,
+    as U 128-wide triangular matmuls + a lane-column carry chain (the
+    MAC cost of one (n, n) triangular matmul is quadratic in n; blockwise
+    stays linear in the step width)."""
+    kw = x.shape[1]
+    if kw == CHUNK:
+        return _mm_exact_rhs(x, tri_cum, terms)
+    blocks = []
+    carry = None
+    for b in range(kw // CHUNK):
+        cb = _mm_exact_rhs(x[:, b * CHUNK:(b + 1) * CHUNK], tri_cum, terms)
+        if carry is not None:
+            cb = cb + carry
+        carry = cb[:, CHUNK - 1: CHUNK]
+        blocks.append(cb)
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _suffix_blocks(x, tri_suf, terms):
+    """Inclusive suffix sum along the lane axis, blockwise (see
+    _prefix_blocks)."""
+    kw = x.shape[1]
+    if kw == CHUNK:
+        return _mm_exact_rhs(x, tri_suf, terms)
+    n = kw // CHUNK
+    blocks = [None] * n
+    carry = None
+    for b in reversed(range(n)):
+        sb = _mm_exact_rhs(x[:, b * CHUNK:(b + 1) * CHUNK], tri_suf, terms)
+        if carry is not None:
+            sb = sb + carry
+        carry = sb[:, 0:1]
+        blocks[b] = sb
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _suffix_excl_blocks(x, tri_suf_x, terms):
+    """EXCLUSIVE suffix sum along the lane axis, blockwise: lane j gets
+    the in-block exclusive suffix plus the full totals of later blocks."""
+    kw = x.shape[1]
+    if kw == CHUNK:
+        return _mm_exact_rhs(x, tri_suf_x, terms)
+    n = kw // CHUNK
+    blocks = [None] * n
+    carry = None
+    for b in reversed(range(n)):
+        xb = x[:, b * CHUNK:(b + 1) * CHUNK]
+        sb = _mm_exact_rhs(xb, tri_suf_x, terms)
+        if carry is not None:
+            sb = sb + carry
+        # total of this block + later = exclusive-at-lane-0 + lane 0.
+        carry = sb[:, 0:1] + xb[:, 0:1]
+        blocks[b] = sb
+    return jnp.concatenate(blocks, axis=1)
+
+
 def _dgc(a, b, contract_a: int, contract_b: int):
     """dot_general with arbitrary contraction axes (lets the MXU fold the
     operand transpose instead of a VPU relayout)."""
@@ -255,9 +319,10 @@ def _forward_kernel(cfg: PallasBlendConfig):
 
 def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
                   inst_hbm, out_ref, scratch, acc_ref, state_ref, sems):
+        kw = cfg.unroll * CHUNK                    # lanes per loop step
         start = start_ref[t]
         count = count_ref[t]
-        nchunks = pl.cdiv(count, CHUNK)
+        nsteps = pl.cdiv(count, kw)
         px, py = _pixel_coords(cfg, t)
 
         # Per-pixel running state lives in VMEM scratch, not loop carries
@@ -270,59 +335,64 @@ def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
         state_ref[:] = init + jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1) == 0, 1.0, 0.0)
 
-        def dma(slot, c):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        # The final step's read may extend past this tile's segment into
+        # the next tile's first chunks (masked out by `local < count`) —
+        # and, on the last tile, into the one-chunk global pad that
+        # _build_inst_data appends for exactly this purpose.
+        def dma(slot, s):
+            off = pl.multiple_of(start + s * kw, CHUNK)
             return pltpu.make_async_copy(
-                inst_hbm.at[:, pl.ds(off, CHUNK)],
+                inst_hbm.at[:, pl.ds(off, kw)],
                 scratch.at[slot], sems.at[slot])
 
-        @pl.when(nchunks > 0)
+        @pl.when(nsteps > 0)
         def _():
             dma(0, 0).start()
 
-        def body(c, carry):
-            @pl.when(c + 1 < nchunks)
+        def body(s, carry):
+            @pl.when(s + 1 < nsteps)
             def _():
-                dma((c + 1) % 2, c + 1).start()
+                dma((s + 1) % 2, s + 1).start()
 
-            dma(c % 2, c).wait()
-            inst = scratch[c % 2]                      # (16, K)
+            dma(s % 2, s).wait()
+            inst = scratch[s % 2]                      # (16, kw)
             t_tr = state_ref[:, 0:1]
             done = state_ref[:, 1:2] > 0.0
             ncon = state_ref[:, 2:3]
 
             power, _, _, alpha, _, _, _ = _alpha_terms(inst, px, py)
-            local = (c * CHUNK
-                     + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
-            in_range = local < count                   # (1, K)
+            local = (s * kw
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1))
+            in_range = local < count                   # (1, kw)
             valid = (in_range & (power <= 0.0)
                      & (alpha >= gm.ALPHA_MIN) & ~done)
 
-            # ONE log-space prefix matmul per chunk: q[j] = T after lane j
-            # is non-increasing along the sorted lane axis (every factor
-            # 1-a is in (0, 1]), so the first sub-T_EPS lane kills all
-            # later lanes too — "dead after first fail" IS the fail mask
-            # itself, and for surviving lanes the used-only prefix sum
-            # equals the all-valid prefix sum. The reference discovers the
-            # same boundary sequentially (forward.cu:592-596).
+            # Log-space prefix matmuls (128-wide blocks + carry chain):
+            # q[j] = T after lane j is non-increasing along the sorted
+            # lane axis (every factor 1-a is in (0, 1]), so the first
+            # sub-T_EPS lane kills all later lanes too — "dead after
+            # first fail" IS the fail mask itself, and for surviving
+            # lanes the used-only prefix sum equals the all-valid prefix
+            # sum. The reference discovers the same boundary sequentially
+            # (forward.cu:592-596).
             a_v = jnp.where(valid, alpha, 0.0)
             lcv = jnp.log1p(-a_v)
             q = t_tr * jnp.exp(
-                _mm_exact_rhs(lcv, tri_cum, cfg.fwd_terms))  # (256, K)
+                _prefix_blocks(lcv, tri_cum, cfg.fwd_terms))  # (256, kw)
             fail = valid & (q < gm.T_EPS)
             used = valid & ~fail
             a_u = jnp.where(fail, 0.0, a_v)
             lcu = jnp.where(fail, 0.0, lcv)
             # T before lane j = q[j] / (1 - a[j]) — a divide instead of a
             # second exp (a_v <= 0.99 keeps the quotient well-conditioned).
-            w = a_u * q / (1.0 - a_v)                  # (256, K)
+            w = a_u * q / (1.0 - a_v)                  # (256, kw)
 
             # contrib[f, p] = sum_k feat[f, k] * w[p, k]: one MXU
             # contraction over the lane axis (rows 6..13 incl. padding),
             # accumulated channel-major.
             acc_ref[:] = acc_ref[:] + _dgc(inst[6:14, :], w, 1, 1)
 
-            # Full-chunk log-product == inclusive product's last column.
+            # Full-step log-product == inclusive product's last column.
             t_out = t_tr * jnp.exp(jnp.sum(lcu, axis=1, keepdims=True))
             done_out = (done | jnp.any(fail, axis=1, keepdims=True))
             rankf = (local + 1).astype(jnp.float32)
@@ -333,25 +403,25 @@ def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
                 [t_out, done_out.astype(jnp.float32), ncon_out,
                  jnp.zeros((PIX, 5), jnp.float32)], axis=1)
             # Saturation early-exit: once every pixel is done, remaining
-            # chunks contribute nothing (forward.cu:592-596 semantics).
+            # steps contribute nothing (forward.cu:592-596 semantics).
             return jnp.min(done_out.astype(jnp.float32)) > 0.0
 
         def loop_body(carry):
-            c, _ = carry
-            return c + 1, body(c, 0)
+            s, _ = carry
+            return s + 1, body(s, 0)
 
         def loop_cond(carry):
-            c, all_done = carry
-            return (c < nchunks) & ~all_done
+            s, all_done = carry
+            return (s < nsteps) & ~all_done
 
-        c_stop, _ = jax.lax.while_loop(loop_cond, loop_body,
+        s_stop, _ = jax.lax.while_loop(loop_cond, loop_body,
                                        (jnp.int32(0), False))
 
         # Drain the in-flight prefetch when the saturation exit fired
-        # (body(c) prefetches chunk c+1 before processing c).
-        @pl.when(c_stop < nchunks)
+        # (body(s) prefetches step s+1 before processing s).
+        @pl.when(s_stop < nsteps)
         def _():
-            dma(c_stop % 2, c_stop).wait()
+            dma(s_stop % 2, s_stop).wait()
 
         st2 = jnp.concatenate(
             [state_ref[:, 0:1], state_ref[:, 2:3]], axis=1)    # (256, 2)
@@ -388,7 +458,7 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         out_specs=pl.BlockSpec((tpb, OUT_COLS, PIX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROW, cfg.unroll * CHUNK), jnp.float32),
             pltpu.VMEM((8, PIX), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -452,6 +522,8 @@ def _backward_kernel(cfg: PallasBlendConfig):
 def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
                    count_ref, inst_hbm, fwdout_ref, dcot_ref, grad_hbm,
                    scratch, gscratch, zscratch, state_ref, sems, gsems):
+        u = cfg.unroll
+        kw = u * CHUNK
         start = start_ref[t]
         count = count_ref[t]
         nchunks = pl.cdiv(count, CHUNK)
@@ -478,9 +550,15 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
         # Saturation-aware trip count: no pixel used an instance ranked
         # past max(ncon), so chunks beyond it carry exactly-zero gradients
         # — skip their math and DMA-zero their gradient slices instead
-        # (the forward's early-exit bound, reused backwards).
+        # (the forward's early-exit bound, reused backwards). The walk is
+        # split into `psteps` full kw-wide steps over the BOTTOM-aligned
+        # chunks [0, psteps*u) plus a one-chunk-write PROLOGUE for the top
+        # odd chunk when eff isn't a multiple of u (processed first —
+        # back-to-front order).
         max_rank = jnp.max(ncon).astype(jnp.int32)
         eff = jnp.minimum(pl.cdiv(max_rank, CHUNK), nchunks)
+        psteps = eff // u
+        podd = eff - psteps * u                 # 0 or 1 (unroll <= 2)
         tail_n = nchunks - eff
 
         # Zero the tail slices [eff, nchunks) in ZBLK-chunk DMA blocks
@@ -523,81 +601,100 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
 
         jax.lax.fori_loop(0, tail_n - nblk * ZBLK, zrem_body, 0)
 
-        def dma_in(slot, c):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        def dma_in(slot, s):
+            off = pl.multiple_of(start + s * kw, CHUNK)
             return pltpu.make_async_copy(
-                inst_hbm.at[:, pl.ds(off, CHUNK)],
+                inst_hbm.at[:, pl.ds(off, kw)],
                 scratch.at[slot], sems.at[slot])
 
-        def dma_out(slot, c):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        def dma_out(slot, s):
+            off = pl.multiple_of(start + s * kw, CHUNK)
             return pltpu.make_async_copy(
                 gscratch.at[slot],
-                grad_hbm.at[:, pl.ds(off, CHUNK)],
+                grad_hbm.at[:, pl.ds(off, kw)],
                 gsems.at[slot])
 
-        @pl.when(eff > 0)
+        # Prologue copies (slot 2, own semaphores): the top odd chunk.
+        # Its READ is kw-wide (the extra chunks are rank-masked; may spill
+        # into the next tile's data or the global end pad — reads only);
+        # its WRITE is one-chunk so it never touches the zero-tail region
+        # or a neighbouring tile's gradient slices.
+        pro_c0 = psteps * u
+
+        def dma_in_pro():
+            off = pl.multiple_of(start + pro_c0 * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_hbm.at[:, pl.ds(off, kw)],
+                scratch.at[2], sems.at[2])
+
+        def dma_out_pro():
+            off = pl.multiple_of(start + pro_c0 * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                gscratch.at[2, :, pl.ds(0, CHUNK)],
+                grad_hbm.at[:, pl.ds(off, CHUNK)],
+                gsems.at[2])
+
+        @pl.when(podd > 0)
         def _():
-            dma_in(0, eff - 1).start()
+            dma_in_pro().start()
+
+        @pl.when(psteps > 0)
+        def _():
+            dma_in(0, psteps - 1).start()
 
         # state cols: [0] = running T (from the back), [1] = sigma.
         state_ref[:] = jnp.concatenate(
             [t_final, jnp.zeros((PIX, 7), jnp.float32)], axis=1)
 
-        def body(i, carry):
+        def step_math(inst, lane0):
+            """Gradient math for one kw-lane step starting at instance
+            rank `lane0`; updates the running (T, sigma) state and
+            returns the (ROW, kw) gradient block."""
             t_run = state_ref[:, 0:1]
             sigma = state_ref[:, 1:2]
-            c = eff - 1 - i
-            slot = i % 2
-
-            @pl.when(i + 1 < eff)
-            def _():
-                dma_in((i + 1) % 2, c - 1).start()
-
-            dma_in(slot, c).wait()
-            inst = scratch[slot]
             power, g, alpha_raw, alpha, dx, dy, (ca, cb, cc, opa) = \
                 _alpha_terms(inst, px, py)
-            local = (c * CHUNK
-                     + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
+            local = (lane0
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1))
             in_range = local < count
             valid = in_range & (power <= 0.0) & (alpha >= gm.ALPHA_MIN)
-            rank = local.astype(jnp.float32)           # (1, K)
-            used = valid & (rank < ncon)               # (256, K)
+            rank = local.astype(jnp.float32)           # (1, kw)
+            used = valid & (rank < ncon)               # (256, kw)
 
             a_u = jnp.where(used, alpha, 0.0)
             cu = 1.0 - a_u
             lcu = jnp.log1p(-a_u)
             # rp[j] = prod_{k >= j} cu[k] (inclusive suffix product).
-            s_suf = _mm_exact_rhs(lcu, tri_suf, cfg.bwd_terms)
-            t_before = t_run * jnp.exp(-s_suf)         # (256, K)
+            s_suf = _suffix_blocks(lcu, tri_suf, cfg.bwd_terms)
+            t_before = t_run * jnp.exp(-s_suf)         # (256, kw)
             w = a_u * t_before
 
             # gdot[p, k] = sum_f dc_f[p] * feat[f, k]: one MXU matmul
             # contracting the channel axis of both channel-major operands.
             gdot = _mm_split(dc6, inst[6:12, :], 0, 0, cfg.bwd_dot_terms)
             phi = w * gdot
-            suffix_excl = _mm_exact_rhs(phi, tri_suf_x, cfg.bwd_terms) + sigma
+            suffix_excl = (_suffix_excl_blocks(phi, tri_suf_x,
+                                               cfg.bwd_terms) + sigma)
             d_alpha = jnp.where(
                 used, t_before * gdot - (suffix_excl + tf_term) / cu, 0.0)
 
             d_power = alpha_raw * d_alpha
             # d_feat[f, k] = sum_p dc_f[p] w[p, k]: MXU contraction over
             # the pixel (sublane) axis.
-            d_feat6 = _mm_split(dc6, w, 1, 0, cfg.bwd_dot_terms)  # (6, K)
+            d_feat6 = _mm_split(dc6, w, 1, 0, cfg.bwd_dot_terms)
             # All remaining per-gaussian sums are pixel moments of
             # d_power: with dx = xl - plx (xl = gaussian x in tile-local
             # coords), sum_p dx^2 d_power expands binomially into the
-            # moments M = basis @ d_power — ONE (6,256)@(256,K) MXU
-            # contraction replaces five (256,K) elementwise-product
+            # moments M = basis @ d_power — ONE (6,256)@(256,kw) MXU
+            # contraction replaces five (256,kw) elementwise-product
             # chains + six sublane reduction trees; the recombination is
-            # (1, K) row math on the VPU.
+            # (1, kw) row math on the VPU.
             # basis is integer-valued <= 225, EXACT in bf16 -> 1 term.
             mom = _mm_split(
                 basis, d_power, 1, 0,
                 (1, cfg.bwd_dot_terms[0]) if cfg.bwd_dot_terms else ())
             m0 = mom[0:1, :]
-            xl = inst[0:1, :] - tx                     # (1, K) local coords
+            xl = inst[0:1, :] - tx                     # (1, kw) local
             yl = inst[1:2, :] - ty
             s_x = xl * m0 - mom[1:2, :]                # sum dx * d_power
             s_y = yl * m0 - mom[2:3, :]
@@ -615,31 +712,56 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
             d_x = -(ca * s_x + cb * s_y)
             d_y = -(cb * s_x + cc * s_y)
 
-            @pl.when(i >= 2)
-            def _():
-                dma_out(slot, nchunks - 1 - (i - 2)).wait()
-
-            zeros = jnp.zeros((ROW - 12, CHUNK), jnp.float32)
-            gscratch[slot] = jnp.concatenate(
+            zeros = jnp.zeros((ROW - 12, kw), jnp.float32)
+            grad_block = jnp.concatenate(
                 [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_feat6, zeros],
                 axis=0)
-            dma_out(slot, c).start()
 
             t_out = t_run * jnp.exp(-jnp.sum(lcu, axis=1, keepdims=True))
             sigma_out = sigma + jnp.sum(phi, axis=1, keepdims=True)
             state_ref[:] = jnp.concatenate(
-                [t_out, sigma_out, jnp.zeros((PIX, 6), jnp.float32)], axis=1)
+                [t_out, sigma_out, jnp.zeros((PIX, 6), jnp.float32)],
+                axis=1)
+            return grad_block
+
+        @pl.when(podd > 0)
+        def _():
+            dma_in_pro().wait()
+            gscratch[2] = step_math(scratch[2], pro_c0 * CHUNK)
+            dma_out_pro().start()
+
+        def body(i, carry):
+            s = psteps - 1 - i
+            slot = i % 2
+
+            @pl.when(i + 1 < psteps)
+            def _():
+                dma_in((i + 1) % 2, s - 1).start()
+
+            dma_in(slot, s).wait()
+            grad_block = step_math(scratch[slot], s * kw)
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, s + 2).wait()
+
+            gscratch[slot] = grad_block
+            dma_out(slot, s).start()
             return carry
 
-        jax.lax.fori_loop(0, eff, body, 0)
+        jax.lax.fori_loop(0, psteps, body, 0)
 
-        @pl.when(eff >= 2)
+        @pl.when(psteps >= 2)
         def _():
-            dma_out(eff % 2, 1).wait()
+            dma_out(psteps % 2, 1).wait()
 
-        @pl.when(eff >= 1)
+        @pl.when(psteps >= 1)
         def _():
-            dma_out((eff - 1) % 2, 0).wait()
+            dma_out((psteps - 1) % 2, 0).wait()
+
+        @pl.when(podd > 0)
+        def _():
+            dma_out_pro().wait()
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -650,7 +772,9 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
     T_final + ncon; Tp = num_tiles padded to the program tile block).
     dcot: (T, 8, 256) channel-major = [dc(6), tf_term, pad]. Returns
     per-instance gradient rows, field-major (16, Rp)."""
-    rp = inst_data.shape[1]
+    # inst_data carries a one-chunk global end pad (_build_inst_data);
+    # the gradient buffer is the UNPADDED aligned length.
+    rp = inst_data.shape[1] - CHUNK
     tpb = cfg.tiles_per_program
     ts, tc, t_tot = _pad_tiles(cfg, tile_start, tile_count)
     if fwd_out.shape[0] != t_tot:
@@ -670,12 +794,12 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
-            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((3, ROW, cfg.unroll * CHUNK), jnp.float32),
+            pltpu.VMEM((3, ROW, cfg.unroll * CHUNK), jnp.float32),
             pltpu.VMEM((ROW, ZBLK * CHUNK), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -714,16 +838,21 @@ def _image_to_ctiles(img, bc):
 
 def _build_inst_data(xy, conic, opacity, feat, abins):
     """Gather per-gaussian data into the field-major aligned layout
-    (16, Rp). One packed row gather (TPU gathers cost per ROW, not per
-    element); the sentinel row P is all-zero, so padding instances
-    (gauss_id == P) get opacity 0 and are neutral in both kernels."""
+    (16, Rp + CHUNK). One packed row gather (TPU gathers cost per ROW,
+    not per element); the sentinel row P is all-zero, so padding
+    instances (gauss_id == P) get opacity 0 and are neutral in both
+    kernels. One extra zero CHUNK is appended at the global end so the
+    kernels' kw-wide reads may overrun the last tile's segment."""
     p = xy.shape[0]
     src = jnp.concatenate([
         xy, conic, opacity[:, None], feat,
         jnp.zeros((p, ROW - 12), xy.dtype)], axis=1)     # (P, 16)
     src = jnp.concatenate([src, jnp.zeros((1, ROW), xy.dtype)], axis=0)
-    rows = src[jnp.minimum(abins.gauss_id, p)]           # (Rp, 16)
-    return rows.T                                        # (16, Rp)
+    ids = jnp.concatenate([
+        jnp.minimum(abins.gauss_id, p),
+        jnp.full((CHUNK,), p, jnp.int32)])
+    rows = src[ids]                                      # (Rp + K, 16)
+    return rows.T                                        # (16, Rp + K)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -28,7 +28,8 @@ from fourdgs_tpu.ops.preprocess import RenderOptions
 from fourdgs_tpu.render import render
 from fourdgs_tpu.utils.losses import photometric_loss
 
-ITERS = 8
+ITERS = 32
+REPS = 3
 H = W = 800
 CAPACITY = 3 * 2 ** 18
 OPTS = RenderOptions(height=H, width=W, gaussian_dim=4, rot_4d=True,
@@ -36,11 +37,17 @@ OPTS = RenderOptions(height=H, width=W, gaussian_dim=4, rot_4d=True,
 
 
 def timed(name, fn, *args):
-    out = jax.block_until_ready(fn(*args))   # compile + warm
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
-    dt = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:28s} {dt:8.2f} ms/iter")
+    """min-of-REPS timing with a per-rep input perturbation: the tunnel
+    serves REPEAT-IDENTICAL jitted calls from a result cache (measured:
+    0.00 ms for real work), so every rep must be a distinct call."""
+    out = jax.block_until_ready(fn(jnp.float32(0.0), *args))  # compile
+    best = float("inf")
+    for r in range(REPS):
+        eps = jnp.float32((r + 1) * 1e-7)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(eps, *args))
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
+    print(f"{name:28s} {best:8.2f} ms/iter")
     return out
 
 
@@ -59,10 +66,10 @@ def main():
     # ---- stage: preprocess fwd ----
     if "pre" in stages:
         @jax.jit
-        def run_pre(scene):
+        def run_pre(eps, scene):
             def body(c, i):
                 proc = pre.preprocess(
-                    **{**scene, "means3d": scene["means3d"] + c * 1e-6},
+                    **{**scene, "means3d": scene["means3d"] + (c * 1e-6 + eps)},
                     camera=camarr, opts=OPTS)
                 return jnp.sum(proc.depth) * 1e-20, proc.radius.sum()
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
@@ -75,9 +82,9 @@ def main():
     # ---- stage: aligned binning ----
     if "bin" in stages:
         @jax.jit
-        def run_bin(proc):
+        def run_bin(eps, proc):
             def body(c, i):
-                p2 = proc._replace(depth=proc.depth + c * 1e-6)
+                p2 = proc._replace(depth=proc.depth + (c * 1e-6 + eps))
                 ab = binning.bin_gaussians_aligned(
                     p2, OPTS, CAPACITY, pallas_blend.CHUNK)
                 return jnp.float32(ab.num_rendered) * 1e-20, ab.max_per_tile
@@ -93,10 +100,10 @@ def main():
     # ---- stage: instance build ----
     if "inst" in stages:
         @jax.jit
-        def run_inst(proc, abins, feat):
+        def run_inst(eps, proc, abins, feat):
             def body(c, i):
                 inst = pallas_blend._build_inst_data(
-                    proc.xy + c * 1e-6, proc.conic, proc.opacity, feat,
+                    proc.xy + (c * 1e-6 + eps), proc.conic, proc.opacity, feat,
                     abins)
                 return jnp.sum(inst[0, ::4096]) * 1e-20, inst[0, 0]
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
@@ -111,10 +118,10 @@ def main():
     # ---- stage: forward kernel ----
     if "fwdk" in stages:
         @jax.jit
-        def run_fwdk(inst, abins):
+        def run_fwdk(eps, inst, abins):
             def body(c, i):
                 accum, t_final, ncon, _ = pallas_blend.blend_forward_pallas(
-                    pcfg, inst.at[5].mul(1.0 + c * 1e-7),
+                    pcfg, inst.at[5].mul(1.0 + c * 1e-7 + eps),
                     abins.tile_start, abins.tile_count)
                 return jnp.sum(t_final[::16, ::16]) * 1e-20, accum[0, 0, 0]
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
@@ -130,10 +137,10 @@ def main():
             jnp.zeros((OPTS.num_tiles, 1, 256), jnp.float32)], axis=1)
 
         @jax.jit
-        def run_bwdk(inst, abins, raw, dcot):
+        def run_bwdk(eps, inst, abins, raw, dcot):
             def body(c, i):
                 eg = pallas_blend.blend_backward_pallas(
-                    pcfg, inst.at[5].mul(1.0 + c * 1e-7),
+                    pcfg, inst.at[5].mul(1.0 + c * 1e-7 + eps),
                     abins.tile_start, abins.tile_count, raw, dcot)
                 return jnp.sum(eg[0, ::4096]) * 1e-20, eg[0, 0]
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
@@ -149,10 +156,10 @@ def main():
             cap = abins0.slot.shape[0] - OPTS.num_tiles * pallas_blend.CHUNK
 
             @jax.jit
-            def run_reduce(eg, abins):
+            def run_reduce(eps, eg, abins):
                 def body(c, i):
                     pg = binning.aligned_entry_grads_to_gaussian_grads(
-                        eg[:10] + c * 1e-9, abins, capacity=cap, fast=True)
+                        eg[:10] + (c * 1e-9 + eps), abins, capacity=cap, fast=True)
                     return jnp.sum(pg[::512, 0]).astype(jnp.float32) * 1e-20, pg[0, 0]
                 return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
             timed("grad reduce (sort bf16)", run_reduce, eg0, abins0)
@@ -162,10 +169,10 @@ def main():
         img0 = jnp.zeros((H, W, 3), jnp.float32)
 
         @jax.jit
-        def run_loss(img, tgt):
+        def run_loss(eps, img, tgt):
             def body(c, i):
                 l, g = jax.value_and_grad(
-                    lambda im: photometric_loss(im + c * 1e-6, tgt)[0])(img)
+                    lambda im: photometric_loss(im + (c * 1e-6 + eps), tgt)[0])(img)
                 return l * 1e-20, g[0, 0, 0]
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
         timed("photometric loss f+b", run_loss, img0, tgt)
@@ -181,18 +188,18 @@ def main():
             return loss
 
         @jax.jit
-        def run_fullf(diff, aux):
+        def run_fullf(eps, diff, aux):
             def body(c, i):
-                loss = loss_fn(diff, aux, c * 1e-6)
+                loss = loss_fn(diff, aux, c * 1e-6 + eps)
                 return loss * 1e-20, loss
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
         timed("full forward", run_fullf, diff, aux)
 
         @jax.jit
-        def run_fullfb(diff, aux):
+        def run_fullfb(eps, diff, aux):
             def body(c, i):
                 loss, g = jax.value_and_grad(
-                    lambda d: loss_fn(d, aux, c * 1e-6))(diff)
+                    lambda d: loss_fn(d, aux, c * 1e-6 + eps))(diff)
                 return loss * 1e-20, g["opacity"][0]
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
         timed("full fwd+bwd", run_fullfb, diff, aux)

@@ -209,3 +209,59 @@ def test_fast_grad_reduce_close_to_exact(rng):
         # worst case loosely.
         assert d.mean() < 2e-3, f"fast-path bulk error for {k}: {d.mean()}"
         assert d.max() < 5e-2, f"fast-path outlier for {k}: {d.max()}"
+
+
+def test_unroll2_matches_unroll1(rng):
+    """unroll=2 (two-chunk loop steps: blockwise prefix/suffix cumsum
+    carry chains + the backward one-chunk prologue for odd effective
+    chunk counts) must reproduce the unroll=1 kernels on a scene deep
+    enough that tiles span several 128-instance chunks of both parities."""
+    from fourdgs_tpu.ops import binning, pallas_blend
+    from fourdgs_tpu.ops import preprocess as pre
+
+    scene = _as_jnp(random_scene(rng, p=360, seed_scale=0.55))
+    cam = look_at_camera(width=OPTS.width, height=OPTS.height).arrays()
+    proc = pre.preprocess(**scene, camera=cam, opts=OPTS)
+    abins = binning.bin_gaussians_aligned(proc, OPTS, 16384,
+                                          pallas_blend.CHUNK)
+    feat = jnp.concatenate([proc.rgb, proc.depth[:, None], proc.flow],
+                           axis=-1)
+    inst = pallas_blend._build_inst_data(proc.xy, proc.conic, proc.opacity,
+                                         feat, abins)
+
+    def cfg(u):
+        return pallas_blend.PallasBlendConfig(
+            height=OPTS.height, width=OPTS.width, tiles_x=OPTS.tiles_x,
+            tiles_y=OPTS.tiles_y, interpret=True, unroll=u)
+
+    acc1, tf1, ncon1, raw1 = pallas_blend.blend_forward_pallas(
+        cfg(1), inst, abins.tile_start, abins.tile_count)
+    acc2, tf2, ncon2, raw2 = pallas_blend.blend_forward_pallas(
+        cfg(2), inst, abins.tile_start, abins.tile_count)
+
+    # The scene must actually exercise the multi-step walk AND the odd
+    # prologue: effective chunk counts (the backward's saturation-aware
+    # bound) need both parities and at least one >= 2.
+    k = pallas_blend.CHUNK
+    nchunks = np.ceil(np.asarray(abins.tile_count) / k).astype(int)
+    eff = np.minimum(
+        np.ceil(np.asarray(ncon1).max(axis=1) / k).astype(int), nchunks)
+    assert (eff >= 2).any(), f"scene too shallow: eff={eff}"
+    assert (eff % 2 == 1).any() and (eff % 2 == 0).any(), f"eff={eff}"
+
+    np.testing.assert_allclose(np.asarray(acc2), np.asarray(acc1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tf2), np.asarray(tf1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ncon2), np.asarray(ncon1))
+
+    rng2 = np.random.default_rng(7)
+    dcot = jnp.asarray(
+        rng2.normal(0.0, 1.0, (OPTS.num_tiles, 8, 256)).astype(np.float32))
+    eg1 = pallas_blend.blend_backward_pallas(
+        cfg(1), inst, abins.tile_start, abins.tile_count, raw1, dcot)
+    eg2 = pallas_blend.blend_backward_pallas(
+        cfg(2), inst, abins.tile_start, abins.tile_count, raw2, dcot)
+    a, b = np.asarray(eg2), np.asarray(eg1)
+    scale = np.maximum(np.abs(b).max(axis=1, keepdims=True), 1e-3)
+    np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)
