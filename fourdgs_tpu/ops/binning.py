@@ -60,31 +60,198 @@ class AlignedBins(NamedTuple):
 
 
 def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
-                          capacity: int, k: int) -> AlignedBins:
+                          capacity: int, k: int,
+                          force_lex: bool = False) -> AlignedBins:
     """One-sort construction of the K-aligned instance layout for the
     Pallas kernels.
 
     Instead of sorting the compact list and re-laying it out (two sorts +
-    many passes), per-tile padding DUMMY instances (depth = +inf) are
-    appended BEFORE the single (tile, depth) sort, sized from an instance
-    histogram so each tile's sorted segment is already a multiple of K.
-    Tile offsets come from the histogram, not a searchsorted.
+    many passes), per-tile padding DUMMY instances (sorting after every
+    live instance of their tile) are appended BEFORE the single sort,
+    sized from an instance histogram so each tile's sorted segment is
+    already a multiple of K. Tile offsets come from the histogram, not a
+    searchsorted.
+
+    Two equivalent sort strategies (measured at 800x800 / 786k capacity):
+
+      * packed rank key: relabel gaussians by view depth (one cheap P-row
+        sort), then sort ONE u32 key `tile * span + rank` — exactly the
+        (tile, depth, expansion-slot) order, because rank is unique per
+        gaussian and a gaussian appears at most once per tile. The
+        single-key compare drops the main sort from 3.8 to 2.9 ms, and
+        the all-integer per-instance fields let a delta-scatter + batched
+        lane-cumsum fill (2.5 ms) replace the owner map + packed row
+        gather (4.6 ms).
+      * lexicographic (tile, depth, slot) 3-key sort — the fallback when
+        the packed key cannot fit u32 (huge P x many tiles) or capacity
+        exceeds f32's exact-integer range.
     """
+    p = proc.tiles_touched.shape[0]
+    span = 1 << max(1, int(p + 1).bit_length())
+    packed_fits = ((opts.num_tiles + 1) * span < 2 ** 32
+                   and capacity < 2 ** 24)
+    if packed_fits and not force_lex:
+        return _bin_aligned_rank(proc, opts, capacity, k, span)
+    return _bin_aligned_lex(proc, opts, capacity, k)
+
+
+def _instance_prologue(proc, capacity):
+    """Shared head: inclusive instance offsets + whole-gaussian
+    truncation on overflow (drop the boundary gaussian's partial
+    instance run entirely so the rect-based histogram agrees EXACTLY
+    with the expanded instance set)."""
+    offsets = jnp.cumsum(proc.tiles_touched, dtype=jnp.int32)
+    num_rendered = offsets[-1]
+    last_full = jnp.searchsorted(offsets, capacity, side="right") - 1
+    num_eff = jnp.where(last_full >= 0,
+                        offsets[jnp.maximum(last_full, 0)], 0)
+    num_eff = jnp.minimum(num_eff, capacity)
+    return offsets, num_rendered, last_full, num_eff
+
+
+def _rect_histogram(proc, opts, last_full):
+    """Per-tile instance histogram WITHOUT a capacity-sized collision
+    scatter: each included gaussian's rect adds a +1/-1 difference
+    stencil to a (tiles_y+1, tiles_x+1) grid, accumulated by ONE
+    single-column sort (sign packed into the cell key's low bit) +
+    prefix-sum differences at cell boundaries; a separable 2D prefix sum
+    recovers box counts."""
+    p = proc.tiles_touched.shape[0]
+    tiles_x, tiles_y = opts.tiles_x, opts.tiles_y
+    included = (jnp.arange(p) <= last_full) & (proc.tiles_touched > 0)
+    gx0, gy0 = proc.rect[:, 0], proc.rect[:, 1]
+    gx1, gy1 = proc.rect[:, 2], proc.rect[:, 3]
+    gw = tiles_x + 1
+    ncells = (tiles_y + 1) * gw
+    cells = jnp.concatenate([
+        gy0 * gw + gx0, gy0 * gw + gx1, gy1 * gw + gx0, gy1 * gw + gx1])
+    pos = jnp.concatenate([included, ~included, ~included, included])
+    live = jnp.concatenate([included] * 4)
+    key = jnp.where(live, cells * 2 + pos.astype(jnp.int32), 2 * ncells)
+    key_s = jax.lax.sort(key)
+    sgn_s = jnp.where(key_s >= 2 * ncells, 0,
+                      jnp.where(key_s % 2 == 1, 1, -1))
+    csum_s = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sgn_s)])
+    bounds = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=jnp.int32) * 2, side="left")
+    diff = csum_s[bounds[1:]] - csum_s[bounds[:-1]]
+    counts2d = jnp.cumsum(jnp.cumsum(
+        diff.reshape(tiles_y + 1, gw), axis=0), axis=1)
+    return counts2d[:tiles_y, :tiles_x].reshape(-1)
+
+
+def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
+                      capacity: int, k: int, span: int) -> AlignedBins:
+    """Packed-rank-key aligned binning (see bin_gaussians_aligned)."""
+    p = proc.tiles_touched.shape[0]
+    num_tiles = opts.num_tiles
+    tiles_x = opts.tiles_x
+    offsets, num_rendered, last_full, num_eff = _instance_prologue(
+        proc, capacity)
+
+    # Depth-rank relabeling: rank(g) = position of g in the stable
+    # (depth, index) order. Within a tile every gaussian appears at most
+    # once, and slot order for equal depths IS gaussian-index order, so
+    # sorting by (tile, rank) reproduces the (tile, depth, slot) order
+    # exactly — as one unique u32 key with no tie columns.
+    iota_p = jnp.arange(p, dtype=jnp.int32)
+    _, gauss_of_rank = jax.lax.sort((proc.depth, iota_p), num_keys=2)
+    rank = jnp.zeros((p,), jnp.int32).at[gauss_of_rank].set(
+        iota_p, unique_indices=True)
+
+    # Per-instance fields are now ALL integers -> piecewise-constant
+    # fills over each gaussian's instance run are exact as delta
+    # scatters + ONE batched lane-axis cumsum (f32 is exact below 2^24;
+    # partial sums telescope to real field values, so they stay in
+    # range). Replaces the owner-map cumsum + (R, 8) row gather.
+    begin = offsets - proc.tiles_touched
+    fields = [
+        proc.rect[:, 0],                                    # x0
+        proc.rect[:, 1],                                    # y0
+        jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0], 1),  # width
+        begin,                                              # first slot
+        rank,
+        iota_p,                                             # gid
+    ]
+    rows = []
+    for f in fields:
+        d = jnp.concatenate([f[:1], f[1:] - f[:-1]])
+        rows.append(jnp.zeros((capacity,), jnp.int32).at[begin].add(
+            d, mode="drop"))
+    filled = _cumsum_lanes(jnp.stack(rows).astype(jnp.float32))
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    x0 = filled[0].astype(jnp.int32)
+    y0 = filled[1].astype(jnp.int32)
+    w_f = filled[2]
+    width = w_f.astype(jnp.int32)
+    begin_f = filled[3].astype(jnp.int32)
+    local = slots - begin_f
+    # local // width via f32 reciprocal + exact correction (no native
+    # integer divide on the VPU; values < 2^23 keep f32 near-exact).
+    row = (local.astype(jnp.float32) * (1.0 / w_f)).astype(jnp.int32)
+    row = jnp.where((row + 1) * width <= local, row + 1, row)
+    row = jnp.where(row * width > local, row - 1, row)
+    tile = (y0 + row) * tiles_x + x0 + (local - row * width)
+
+    valid = slots < num_eff
+    invalid_key = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(
+        valid,
+        tile.astype(jnp.uint32) * jnp.uint32(span)
+        + filled[4].astype(jnp.uint32),
+        invalid_key)
+    gid = jnp.where(valid, filled[5].astype(jnp.int32), p)
+
+    counts = _rect_histogram(proc, opts, last_full)
+    pad = (-counts) % k
+    sums = jnp.cumsum(counts + pad, dtype=jnp.int32)
+    aligned_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), sums[:-1]])
+    total_len = sums[-1]
+
+    # Dummy block: K candidates per tile, the first pad[t] live; rank
+    # span-1 exceeds every live rank (span >= p+2), so dummies sort to
+    # the end of their tile's segment.
+    dummy_t = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 0)
+    dummy_i = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 1)
+    dummy_key = jnp.where(
+        dummy_i < pad[:, None],
+        dummy_t.astype(jnp.uint32) * jnp.uint32(span)
+        + jnp.uint32(span - 1),
+        invalid_key).reshape(-1)
+    n_dummy = num_tiles * k
+    all_key = jnp.concatenate([key, dummy_key])
+    all_gid = jnp.concatenate([gid, jnp.full((n_dummy,), p, jnp.int32)])
+    all_slot = jnp.concatenate(
+        [slots, capacity + jnp.arange(n_dummy, dtype=jnp.int32)])
+
+    _, gid_s, slot_s = jax.lax.sort(
+        (all_key, all_gid, all_slot), num_keys=1, is_stable=False)
+
+    return AlignedBins(
+        gauss_id=gid_s,
+        slot=slot_s,
+        tile_start=aligned_off,
+        tile_count=counts,
+        total_len=total_len,
+        offsets=offsets,
+        num_rendered=num_rendered,
+        max_per_tile=jnp.max(counts),
+    )
+
+
+def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
+                     capacity: int, k: int) -> AlignedBins:
+    """Lexicographic-key aligned binning (see bin_gaussians_aligned)."""
     p = proc.tiles_touched.shape[0]
     num_tiles = opts.num_tiles
     tiles_x = opts.tiles_x
     tiles_y = opts.tiles_y
     rp = aligned_capacity(capacity, num_tiles, k)
 
-    offsets = jnp.cumsum(proc.tiles_touched, dtype=jnp.int32)
-    num_rendered = offsets[-1]
-    # Whole-gaussian truncation on overflow: drop the boundary gaussian's
-    # partial instance run entirely so the rect-based histogram below
-    # agrees EXACTLY with the expanded instance set.
-    last_full = jnp.searchsorted(offsets, capacity, side="right") - 1
-    num_eff = jnp.where(last_full >= 0,
-                        offsets[jnp.maximum(last_full, 0)], 0)
-    num_eff = jnp.minimum(num_eff, capacity)
+    offsets, num_rendered, last_full, num_eff = _instance_prologue(
+        proc, capacity)
 
     # Instance -> owning gaussian via begin-marks + cumsum (see
     # bin_gaussians below for the trick).
@@ -123,33 +290,7 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
     depth = jnp.where(valid, g[:, 4], jnp.inf).astype(jnp.float32)
     gid = jnp.where(valid, owner_c, p).astype(jnp.int32)
 
-    # Per-tile instance histogram WITHOUT a 1.5M-element collision scatter:
-    # each included gaussian's rect adds a +1/-1 difference stencil to a
-    # (tiles_y+1, tiles_x+1) grid (4P tiny scatter-adds), and a separable
-    # 2D prefix sum recovers box counts.
-    included = ((jnp.arange(p) <= last_full)
-                & (proc.tiles_touched > 0)).astype(jnp.int32)
-    gx0 = proc.rect[:, 0]
-    gy0 = proc.rect[:, 1]
-    gx1 = proc.rect[:, 2]
-    gy1 = proc.rect[:, 3]
-    gw = tiles_x + 1
-    cells = jnp.concatenate([
-        gy0 * gw + gx0, gy0 * gw + gx1, gy1 * gw + gx0, gy1 * gw + gx1])
-    signs = jnp.concatenate([included, -included, -included, included])
-    # Stencil accumulation by sort + prefix-sum differences at cell
-    # boundaries instead of a 4P-element collision scatter-add (profiled
-    # 2.7 ms at P=100k; the scatter-add path is pathological on TPU).
-    ncells = (tiles_y + 1) * gw
-    cells_s, signs_s = jax.lax.sort((cells, signs), num_keys=1)
-    csum_s = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(signs_s)])
-    bounds = jnp.searchsorted(
-        cells_s, jnp.arange(ncells + 1, dtype=jnp.int32), side="left")
-    diff = csum_s[bounds[1:]] - csum_s[bounds[:-1]]
-    counts2d = jnp.cumsum(jnp.cumsum(
-        diff.reshape(tiles_y + 1, gw), axis=0), axis=1)
-    counts = counts2d[:tiles_y, :tiles_x].reshape(-1)
+    counts = _rect_histogram(proc, opts, last_full)
     pad = (-counts) % k                              # per-tile dummy count
     sums = jnp.cumsum(counts + pad, dtype=jnp.int32)
     aligned_off = jnp.concatenate(
@@ -309,22 +450,38 @@ def aligned_entry_grads_to_gaussian_grads(
     sort; dummy/padding rows carry slots >= capacity and sort past the
     prefix. The cumsum runs in the (C, R) field-major layout along the
     lane axis — an (R, C) layout pads C -> 128 lanes on TPU and costs
-    ~10x the HBM traffic. Returns (P, C) f32."""
+    ~10x the HBM traffic. Returns (P, C) f32.
+
+    A uint32 input means the backward kernel ALREADY packed bf16
+    channel pairs into u32 rows (PallasBlendConfig.packed_grads):
+    each input row carries channels (2i, 2i+1) with 2i in the high
+    half, and the XLA-side pack pass is skipped."""
     c, rp = entry_grads_fm.shape
+    pre_packed = entry_grads_fm.dtype == jnp.uint32
+    if pre_packed:
+        if not fast:
+            raise ValueError("packed u32 gradient rows require fast=True")
+        c = 2 * c
     live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
-    cols = [jnp.where(live, entry_grads_fm[i], 0.0) for i in range(c)]
     if fast:
-        # Sort cost scales with operand count: pack bf16 PAIRS into u32
-        # payload columns (5 payloads instead of 10 for the blend grads).
-        packed = []
-        for i in range(0, c, 2):
-            hi = jax.lax.bitcast_convert_type(
-                cols[i].astype(jnp.bfloat16),
-                jnp.uint16).astype(jnp.uint32) << 16
-            lo = (jax.lax.bitcast_convert_type(
-                cols[i + 1].astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32) if i + 1 < c else jnp.uint32(0))
-            packed.append(hi | lo)
+        if pre_packed:
+            packed = [jnp.where(live, entry_grads_fm[i], jnp.uint32(0))
+                      for i in range(entry_grads_fm.shape[0])]
+        else:
+            # Sort cost scales with operand count: pack bf16 PAIRS into
+            # u32 payload columns (5 payloads instead of 10 for the
+            # blend grads).
+            cols = [jnp.where(live, entry_grads_fm[i], 0.0)
+                    for i in range(c)]
+            packed = []
+            for i in range(0, c, 2):
+                hi = jax.lax.bitcast_convert_type(
+                    cols[i].astype(jnp.bfloat16),
+                    jnp.uint16).astype(jnp.uint32) << 16
+                lo = (jax.lax.bitcast_convert_type(
+                    cols[i + 1].astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32) if i + 1 < c else jnp.uint32(0))
+                packed.append(hi | lo)
         sorted_ = jax.lax.sort((abins.slot,) + tuple(packed), num_keys=1)
         rows = []
         for i, s in enumerate(sorted_[1:]):
@@ -336,6 +493,7 @@ def aligned_entry_grads_to_gaussian_grads(
                     s.astype(jnp.uint16), jnp.bfloat16))
         stacked = jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
     else:
+        cols = [jnp.where(live, entry_grads_fm[i], 0.0) for i in range(c)]
         sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
         stacked = jnp.stack(
             [s[:capacity] for s in sorted_[1:]], axis=0)

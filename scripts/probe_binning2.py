@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Probe candidate binning rewrites: depth-rank packed key (2-op main
+sort), delta-scatter + batched-cumsum field fill (replaces owner map +
+packed row gather)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax.numpy as jnp
+import numpy as np
+
+from bench import build_inputs
+from fourdgs_tpu.ops import binning, pallas_blend
+from fourdgs_tpu.ops import preprocess as pre
+from fourdgs_tpu.ops.preprocess import RenderOptions
+
+ITERS = 32
+REPS = 3
+H = W = 800
+CAPACITY = 3 * 2 ** 18
+OPTS = RenderOptions(height=H, width=W, gaussian_dim=4, rot_4d=True,
+                     time_duration=1.0)
+K = pallas_blend.CHUNK
+
+
+def timed(name, fn, *args):
+    out = jax.block_until_ready(fn(jnp.float32(0.0), *args))
+    best = float("inf")
+    for r in range(REPS):
+        eps = jnp.float32((r + 1) * 1e-7)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(eps, *args))
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
+    print(f"{name:40s} {best:8.2f} ms/iter")
+    return out
+
+
+def scan(fn):
+    @jax.jit
+    def run(eps, *args):
+        def body(c, i):
+            return fn(c * 1e-6 + eps, *args), 0
+        return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+    return run
+
+
+def main():
+    scene, cam, tgt = build_inputs(h=H, w=W)
+    camarr = pre.CameraArrays(**cam) if isinstance(cam, dict) else cam
+    proc = jax.jit(lambda s: pre.preprocess(**s, camera=camarr,
+                                            opts=OPTS))(scene)
+    p = proc.tiles_touched.shape[0]
+    num_tiles = OPTS.num_tiles
+    rp = binning.aligned_capacity(CAPACITY, num_tiles, K)
+
+    def consume(x):
+        return jnp.sum(x.astype(jnp.float32)[::4096]) * 1e-20
+
+    # gaussian depth-rank sort: (depth, gid) 100k
+    def rank_sort(e):
+        d = proc.depth + e
+        _, gi = jax.lax.sort((d, jnp.arange(p, dtype=jnp.int32)),
+                             num_keys=2, is_stable=False)
+        rank = jnp.zeros((p,), jnp.int32).at[gi].set(
+            jnp.arange(p, dtype=jnp.int32), unique_indices=True)
+        return consume(rank)
+    timed("gaussian depth-rank (sort+inv)", scan(rank_sort))
+
+    # delta row scatter + transpose + batched lane cumsum
+    offsets0 = jnp.cumsum(proc.tiles_touched, dtype=jnp.int32)
+    begin0 = offsets0 - proc.tiles_touched
+
+    def delta_fill(e):
+        x0 = proc.rect[:, 0] + (e * 0).astype(jnp.int32)
+        fields = jnp.stack([
+            x0, proc.rect[:, 1],
+            jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0], 1),
+            begin0,
+            jnp.arange(p, dtype=jnp.int32),      # stand-in rank
+            jnp.ones((p,), jnp.int32),           # owner marks
+            jnp.zeros((p,), jnp.int32),
+            jnp.zeros((p,), jnp.int32)], axis=1) # (P, 8)
+        # deltas vs the previous gaussian's value (first row absolute)
+        deltas = jnp.concatenate(
+            [fields[:1], fields[1:] - fields[:-1]], axis=0)
+        acc = jnp.zeros((CAPACITY, 8), jnp.int32).at[begin0].add(
+            deltas, mode="drop")
+        accT = acc.T.astype(jnp.float32)         # (8, R)
+        filled = binning._cumsum_lanes(accT).astype(jnp.int32)
+        return consume(filled)
+    timed("delta row-scatter + cumsum fill", scan(delta_fill))
+
+    # the same but scatter columns separately (6 x 1-col scatters)
+    def delta_fill_cols(e):
+        x0 = proc.rect[:, 0] + (e * 0).astype(jnp.int32)
+        cols = [x0, proc.rect[:, 1],
+                jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0], 1),
+                begin0, jnp.arange(p, dtype=jnp.int32),
+                jnp.ones((p,), jnp.int32)]
+        out = 0.0
+        rows = []
+        for cvec in cols:
+            d = jnp.concatenate([cvec[:1], cvec[1:] - cvec[:-1]])
+            rows.append(jnp.zeros((CAPACITY,), jnp.int32).at[begin0].add(
+                d, mode="drop"))
+        filled = binning._cumsum_lanes(
+            jnp.stack(rows).astype(jnp.float32))
+        return consume(filled)
+    timed("delta 6x col-scatter + cumsum fill", scan(delta_fill_cols))
+
+    # main sort: 2 ops (packed key, gid) x 1.1M
+    tile0 = jnp.where(jnp.arange(CAPACITY) < offsets0[-1],
+                      jnp.arange(CAPACITY) % num_tiles,
+                      num_tiles).astype(jnp.int32)
+    rank0 = jnp.arange(CAPACITY, dtype=jnp.int32) % p
+    gid0 = rank0
+    key0 = tile0 * (2 ** 18) + rank0
+    all_key = jnp.concatenate(
+        [key0, jnp.full((rp - CAPACITY,), 2 ** 31 - 1, jnp.int32)])
+    all_gid = jnp.concatenate(
+        [gid0, jnp.full((rp - CAPACITY,), p, jnp.int32)])
+
+    def sort2(e):
+        k2 = all_key + (e * 0).astype(jnp.int32)
+        key_s, gid_s = jax.lax.sort((k2, all_gid), num_keys=1)
+        return consume(key_s) + consume(gid_s)
+    timed("main sort 2ops x 1.1M (key,gid)", scan(sort2))
+
+    def sort3(e):
+        k2 = all_key + (e * 0).astype(jnp.int32)
+        key_s, gid_s, slot_s = jax.lax.sort(
+            (k2, all_gid, jnp.arange(rp, dtype=jnp.int32)), num_keys=1)
+        return consume(key_s) + consume(gid_s) + consume(slot_s)
+    timed("main sort 3ops x 1.1M (key,gid,slot)", scan(sort3))
+
+    # grad-reduce shape: current = sort (slot + 5 u32) x 1.1M
+    eg = jnp.ones((5, rp), jnp.uint32)
+    slot0 = jnp.arange(rp, dtype=jnp.int32)[::-1]
+
+    def reduce_sort(e):
+        s0 = slot0 + (e * 0).astype(jnp.int32)
+        out = jax.lax.sort((s0,) + tuple(eg[i] for i in range(5)),
+                           num_keys=1)
+        return sum(consume(o) for o in out[1:])
+    timed("reduce sort 6ops x 1.1M (cur shape)", scan(reduce_sort))
+
+
+if __name__ == "__main__":
+    main()

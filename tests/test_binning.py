@@ -60,13 +60,17 @@ def _naive_tile_lists(proc, num_tiles, tiles_x, limit):
     return out
 
 
+@pytest.mark.parametrize("force_lex", [False, True])
 @pytest.mark.parametrize("dup_depths", [False, True])
 @pytest.mark.parametrize("p", [1, 17, 120])
-def test_aligned_matches_naive(rng, p, dup_depths):
+def test_aligned_matches_naive(rng, p, dup_depths, force_lex):
+    # force_lex exercises the lexicographic fallback path (chosen
+    # automatically only when the packed rank key cannot fit u32).
     k = 8
     capacity = 512
     proc = _proc(rng, p, dup_depths=dup_depths)
-    ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k)
+    ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
+                                       force_lex=force_lex)
     want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, capacity)
 
     gid = np.asarray(ab.gauss_id)
