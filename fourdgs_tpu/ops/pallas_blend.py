@@ -86,6 +86,20 @@ class PallasBlendConfig(NamedTuple):
     # allocator) — kept at 1; the blockwise cumsum machinery stays for
     # future shapes where tiles run deep.
     unroll: int = 1
+    # Backward kernel writes bf16 PAIRS packed into (8, Rp) u32 gradient
+    # rows instead of (16, Rp) f32: halves the gradient-write +
+    # zero-tail DMA bytes and hands the sort-based reduce its packed
+    # payloads directly (the XLA-side pack pass disappears). Only
+    # meaningful with fast_grad_reduce (the exact path needs f32 rows).
+    packed_grads: bool = False
+
+    @property
+    def grad_rows(self) -> int:
+        return 8 if self.packed_grads else ROW
+
+    @property
+    def grad_dtype(self):
+        return jnp.uint32 if self.packed_grads else jnp.float32
 
     @property
     def num_tiles(self) -> int:
@@ -480,6 +494,16 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
 ZBLK = 8  # chunks per tail-zeroing DMA
 
 
+def _pack2(a, b):
+    """Round two f32 rows to bf16 and pack them into one u32 row
+    (a in the high half)."""
+    hi = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32) << 16
+    lo = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return hi | lo
+
+
 def _backward_kernel(cfg: PallasBlendConfig):
     def kernel(start_ref, count_ref, inst_hbm, fwdout_ref, dcot_ref,
                grad_hbm, scratch, gscratch, zscratch, state_ref, sems,
@@ -504,7 +528,8 @@ def _backward_kernel(cfg: PallasBlendConfig):
 
         # The zero block for tail DMAs never changes — write it once per
         # program, not once per tile (it is a 128-vreg store).
-        zscratch[:] = jnp.zeros((ROW, ZBLK * CHUNK), jnp.float32)
+        zscratch[:] = jnp.zeros(
+            (cfg.grad_rows, ZBLK * CHUNK), cfg.grad_dtype)
 
         def tile_body(tl, tile_carry):
             _backward_tile(cfg, g * cfg.tiles_per_program + tl, tl,
@@ -712,10 +737,23 @@ def _backward_tile(cfg, t, tl, tri_suf, tri_suf_x, basis, start_ref,
             d_x = -(ca * s_x + cb * s_y)
             d_y = -(cb * s_x + cc * s_y)
 
-            zeros = jnp.zeros((ROW - 12, kw), jnp.float32)
-            grad_block = jnp.concatenate(
-                [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_feat6, zeros],
-                axis=0)
+            if cfg.packed_grads:
+                # bf16-pair u32 rows, channel 2i in the high half — the
+                # layout aligned_entry_grads_to_gaussian_grads' fast path
+                # sorts directly (rows [0:5] = the 10 live channels).
+                grad_block = jnp.concatenate([
+                    _pack2(d_x, d_y),
+                    _pack2(d_ca, d_cb),
+                    _pack2(d_cc, d_opa),
+                    _pack2(d_feat6[0:1], d_feat6[1:2]),
+                    _pack2(d_feat6[2:3], d_feat6[3:4]),
+                    _pack2(d_feat6[4:5], d_feat6[5:6]),
+                    jnp.zeros((2, kw), jnp.uint32)], axis=0)
+            else:
+                zeros = jnp.zeros((ROW - 12, kw), jnp.float32)
+                grad_block = jnp.concatenate(
+                    [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_feat6, zeros],
+                    axis=0)
 
             t_out = t_run * jnp.exp(-jnp.sum(lcu, axis=1, keepdims=True))
             sigma_out = sigma + jnp.sum(phi, axis=1, keepdims=True)
@@ -795,8 +833,9 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((3, ROW, cfg.unroll * CHUNK), jnp.float32),
-            pltpu.VMEM((3, ROW, cfg.unroll * CHUNK), jnp.float32),
-            pltpu.VMEM((ROW, ZBLK * CHUNK), jnp.float32),
+            pltpu.VMEM((3, cfg.grad_rows, cfg.unroll * CHUNK),
+                       cfg.grad_dtype),
+            pltpu.VMEM((cfg.grad_rows, ZBLK * CHUNK), cfg.grad_dtype),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((3,)),
@@ -804,7 +843,8 @@ def blend_backward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
     )
     return pl.pallas_call(
         _backward_kernel(cfg),
-        out_shape=jax.ShapeDtypeStruct((ROW, rp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cfg.grad_rows, rp),
+                                       cfg.grad_dtype),
         grid_spec=grid_spec,
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -931,10 +971,12 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     # Only 10 of the 12 gradient rows matter downstream: the flow feature
     # is a zeros CONSTANT in training (`gaussian_renderer/__init__.py:119`
     # parity), so its cotangent is discarded by AD. Rows stay field-major
-    # (10, Rp) straight into the sort-based reduce — no transpose.
+    # straight into the sort-based reduce — no transpose. Packed mode
+    # hands over 5 u32 rows (= channels 0..9 as bf16 pairs).
     capacity = abins.slot.shape[0] - cfg.num_tiles * CHUNK
+    n_rows = 5 if cfg.packed_grads else 10
     per_gauss = aligned_entry_grads_to_gaussian_grads(
-        entry_grads[:10], abins, capacity=capacity,
+        entry_grads[:n_rows], abins, capacity=capacity,
         fast=cfg.fast_grad_reduce)
     d_xy = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]

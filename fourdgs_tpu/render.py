@@ -82,9 +82,12 @@ def render(
             fast_grad_reduce=fast_grad_reduce,
             # Production mode also drops the backward data matmuls from
             # HIGHEST (6 MXU passes) to a (2,2)-term bf16 split (3
-            # passes, ~1e-5 relative — scripts/probe_bwd_dots.py);
-            # parity mode (fast_grad_reduce=False) keeps HIGHEST.
-            bwd_dot_terms=(2, 2) if fast_grad_reduce else ())
+            # passes, ~1e-5 relative — scripts/probe_bwd_dots.py), and
+            # writes bf16-pair-packed u32 gradient rows (half the
+            # gradient DMA; the reduce's pack pass disappears); parity
+            # mode (fast_grad_reduce=False) keeps HIGHEST + f32 rows.
+            bwd_dot_terms=(2, 2) if fast_grad_reduce else (),
+            packed_grads=fast_grad_reduce)
         color, depth_img, flow_img, alpha_img = pallas_blend.blend_pallas(
             pcfg, proc.xy, proc.conic, proc.opacity, feat, bg, abins)
         num_rendered, mpt = abins.num_rendered, abins.max_per_tile
