@@ -163,8 +163,11 @@ def build_step_fn(
         aux["color"] = color
 
         def frame_loss(color_f, gt_img):
+            # fast_grad_reduce is the production-numerics knob: it also
+            # picks the 3-bf16-pass SSIM blurs (~2^-17 on the loss).
             return loss_lib.photometric_loss(color_f, gt_img,
-                                             cfg.lambda_dssim)
+                                             cfg.lambda_dssim,
+                                             fast=fast_grad_reduce)
 
         per_cam_loss, l1, lssim = jax.vmap(frame_loss)(color, gt)
         aux["l1"], aux["lssim"] = l1, lssim

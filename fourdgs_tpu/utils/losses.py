@@ -58,31 +58,54 @@ def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
     return m
 
 
-def _blur(img: jax.Array, window_size: int, sigma: float) -> jax.Array:
+def _band_split3(b: jax.Array, x: jax.Array, sub: int) -> jax.Array:
+    """b @ x contracting b's axis 1 with x's axis `sub`, as THREE bf16
+    MXU passes (both operands split hi+lo, the lo*lo term dropped —
+    ~2^-17 relative vs ~2x the cost of HIGHEST's six passes). The
+    contracted axis lands on x's output axis 0."""
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (sub,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(bh, xh, dn, **kw)
+    out += jax.lax.dot_general(bh, xl, dn, **kw)
+    out += jax.lax.dot_general(bl, xh, dn, **kw)
+    return out
+
+
+def _blur(img: jax.Array, window_size: int, sigma: float,
+          fast: bool = False) -> jax.Array:
     """Separable gaussian blur, zero 'same' padding. img: (B, H, W, C).
 
     Each 1D pass is a banded-matrix contraction on the MXU rather than a
     depthwise conv: with C=3 channels on the lane axis a grouped NHWC conv
     uses 3/128 of the vector unit, while the (H, H)/(W, W) band matmuls
-    run at full systolic-array rate (f32-exact via HIGHEST — SSIM values
-    are oracle-compared at 1e-5)."""
+    run at full systolic-array rate. Default is f32-exact via HIGHEST
+    (SSIM values are oracle-compared at 1e-5); `fast` uses a 3-bf16-pass
+    split (~2^-17 on values; AD of the split leaves ~1e-2 outliers in
+    per-pixel loss grads — same class as the kernels' fast mode)."""
     _, h, w, _ = img.shape
     bh = jnp.asarray(_band_matrix(h, window_size, sigma))
     bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    if fast:
+        out = jnp.moveaxis(_band_split3(bh, img, 1), 0, 1)
+        return jnp.moveaxis(_band_split3(bw, out, 2), 0, 2)
     kw = dict(precision=jax.lax.Precision.HIGHEST,
               preferred_element_type=jnp.float32)
     out = jnp.einsum("hk,bkwc->bhwc", bh, img, **kw)
     return jnp.einsum("wk,bhkc->bhwc", bw, out, **kw)
 
 
-def _ssim_maps(img1, img2, window_size, sigma):
+def _ssim_maps(img1, img2, window_size, sigma, fast=False):
     """Per-pixel (ssim, cs) maps for batched NHWC images."""
-    mu1 = _blur(img1, window_size, sigma)
-    mu2 = _blur(img2, window_size, sigma)
+    mu1 = _blur(img1, window_size, sigma, fast)
+    mu2 = _blur(img2, window_size, sigma, fast)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _blur(img1 * img2, window_size, sigma) - mu1_mu2
+    sigma1_sq = _blur(img1 * img1, window_size, sigma, fast) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window_size, sigma, fast) - mu2_sq
+    sigma12 = _blur(img1 * img2, window_size, sigma, fast) - mu1_mu2
     cs = (2 * sigma12 + _C2) / (sigma1_sq + sigma2_sq + _C2)
     ssim = ((2 * mu1_mu2 + _C1) / (mu1_sq + mu2_sq + _C1)) * cs
     return ssim, cs
@@ -95,11 +118,12 @@ def _ensure_batched(img: jax.Array):
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
-         sigma: float = 1.5, size_average: bool = True) -> jax.Array:
+         sigma: float = 1.5, size_average: bool = True,
+         fast: bool = False) -> jax.Array:
     """Mean SSIM (reference `loss_utils.py:34-64` semantics)."""
     img1, _ = _ensure_batched(img1)
     img2, _ = _ensure_batched(img2)
-    m, _ = _ssim_maps(img1, img2, window_size, sigma)
+    m, _ = _ssim_maps(img1, img2, window_size, sigma, fast)
     if size_average:
         return jnp.mean(m)
     return jnp.mean(m, axis=(1, 2, 3))
@@ -144,10 +168,10 @@ def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def photometric_loss(pred: jax.Array, target: jax.Array,
-                     lambda_dssim: float = 0.2):
+                     lambda_dssim: float = 0.2, fast: bool = False):
     """(1-λ)·L1 + λ·(1-SSIM) (`train.py:115-117`). Returns (loss, l1, 1-ssim)."""
     ll1 = l1_loss(pred, target)
-    lssim = 1.0 - ssim(pred, target)
+    lssim = 1.0 - ssim(pred, target, fast=fast)
     return (1.0 - lambda_dssim) * ll1 + lambda_dssim * lssim, ll1, lssim
 
 

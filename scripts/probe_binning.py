@@ -34,7 +34,9 @@ def timed(name, fn, *args):
     for r in range(REPS):
         eps = jnp.float32((r + 1) * 1e-7)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(eps, *args))
+        out = fn(eps, *args)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])  # fetch: block_until_ready
+        # alone can return before device completion on this plugin
         best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
     print(f"{name:40s} {best:8.2f} ms/iter")
     return out

@@ -20,13 +20,20 @@ REPS = 3
 H = W = 800
 
 
+SALT = (time.time_ns() % 997) * 1e-7  # the tunnel result-cache is
+# persistent ACROSS PROCESSES, keyed on (program, inputs) — identical
+# historical calls are replayed in ~0 ms; salt every timing input.
+
+
 def timed(name, fn, *args):
-    out = jax.block_until_ready(fn(jnp.float32(0.0), *args))
+    out = jax.block_until_ready(fn(jnp.float32(SALT), *args))
     best = float("inf")
     for r in range(REPS):
-        eps = jnp.float32((r + 1) * 1e-5)
+        eps = jnp.float32((r + 1) * 1e-3 + SALT)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(eps, *args))
+        out = fn(eps, *args)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])  # fetch: block_until_ready
+        # alone can return before device completion on this plugin
         best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
     print(f"{name:36s} {best:8.2f} ms/iter")
     return out
@@ -42,12 +49,14 @@ def main():
         return l
 
     def make_run(loss):
+        # O(1) rep-distinct carry: the tunnel replays calls (0.00 ms)
+        # when the consumed output is bit-identical across reps.
         @jax.jit
         def run(eps, im, tg):
             def body(c, i):
                 l, g = jax.value_and_grad(loss)(
                     im + (i.astype(jnp.float32) * 1e-4 + eps), tg)
-                return c + l * 1e-20 + g[0, 0, 0] * 1e-20, 0
+                return c + l + jnp.sum(g), 0
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))
         return run
 

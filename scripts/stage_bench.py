@@ -36,16 +36,23 @@ OPTS = RenderOptions(height=H, width=W, gaussian_dim=4, rot_4d=True,
                      time_duration=1.0)
 
 
+SALT = (time.time_ns() % 997) * 1e-7  # the tunnel result-cache is
+# persistent ACROSS PROCESSES, keyed on (program, inputs) — identical
+# historical calls are replayed in ~0 ms; salt every timing input.
+
+
 def timed(name, fn, *args):
     """min-of-REPS timing with a per-rep input perturbation: the tunnel
     serves REPEAT-IDENTICAL jitted calls from a result cache (measured:
     0.00 ms for real work), so every rep must be a distinct call."""
-    out = jax.block_until_ready(fn(jnp.float32(0.0), *args))  # compile
+    out = jax.block_until_ready(fn(jnp.float32(SALT), *args))  # compile
     best = float("inf")
     for r in range(REPS):
-        eps = jnp.float32((r + 1) * 1e-7)
+        eps = jnp.float32((r + 1) * 1e-7 + SALT)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(eps, *args))
+        out = fn(eps, *args)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])  # fetch: block_until_ready
+        # alone can return before device completion on this plugin
         best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
     print(f"{name:28s} {best:8.2f} ms/iter")
     return out

@@ -85,3 +85,30 @@ def test_opacity_mask_loss():
     np.testing.assert_allclose(val, -np.log(0.5), rtol=1e-5)
     # fully foreground -> no penalty
     assert float(losses.opacity_mask_loss(alpha, jnp.ones((4, 4)))) == 0.0
+
+
+def test_fast_ssim_close_to_exact(rng):
+    """The 3-bf16-pass blur split (production loss mode) tracks the
+    HIGHEST-precision SSIM within ~2^-17 on values; loss gradients stay
+    in the same tolerance class as the kernels' fast mode."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(rng.random((64, 72, 3)), jnp.float32)
+    b = jnp.asarray(rng.random((64, 72, 3)), jnp.float32)
+    s_hi = float(losses.ssim(a, b))
+    s_f = float(losses.ssim(a, b, fast=True))
+    # SSIM lives in [-1, 1]; absolute tolerance (random-noise images sit
+    # near 0, inflating relative error).
+    assert abs(s_hi - s_f) < 1e-5
+
+    g_hi = jax.grad(lambda x: losses.photometric_loss(x, b)[0])(a)
+    g_f = jax.grad(
+        lambda x: losses.photometric_loss(x, b, fast=True)[0])(a)
+    scale = float(jnp.max(jnp.abs(g_hi)))
+    d = np.abs(np.asarray(g_hi - g_f)) / scale
+    # Same bulk bound as the kernels' fast mode
+    # (test_fast_grad_reduce_close_to_exact): the split's AD truncates
+    # cotangents to bf16 in the transposed dots.
+    assert d.mean() < 2e-3, d.mean()
+    assert d.max() < 3e-2, d.max()
