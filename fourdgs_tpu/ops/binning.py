@@ -166,10 +166,13 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
     # partial sums telescope to real field values, so they stay in
     # range). Replaces the owner-map cumsum + (R, 8) row gather.
     begin = offsets - proc.tiles_touched
+    # (x0, y0, width) pack into one field at power-of-2 scales (each
+    # < 2^8 for images up to 4096 px; the packed value stays < 2^24, so
+    # the f32 fill and the scale-by-2^-k floor decodes are exact).
+    xyw = (proc.rect[:, 0] + proc.rect[:, 1] * 256
+           + jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0], 1) * 65536)
     fields = [
-        proc.rect[:, 0],                                    # x0
-        proc.rect[:, 1],                                    # y0
-        jnp.maximum(proc.rect[:, 2] - proc.rect[:, 0], 1),  # width
+        xyw,
         begin,                                              # first slot
         rank,
         iota_p,                                             # gid
@@ -182,11 +185,13 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
     filled = _cumsum_lanes(jnp.stack(rows).astype(jnp.float32))
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    x0 = filled[0].astype(jnp.int32)
-    y0 = filled[1].astype(jnp.int32)
-    w_f = filled[2]
+    w_f = jnp.floor(filled[0] * (1.0 / 65536.0))
+    rem = filled[0] - w_f * 65536.0
+    y0f = jnp.floor(rem * (1.0 / 256.0))
+    x0 = (rem - y0f * 256.0).astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
     width = w_f.astype(jnp.int32)
-    begin_f = filled[3].astype(jnp.int32)
+    begin_f = filled[1].astype(jnp.int32)
     local = slots - begin_f
     # local // width via f32 reciprocal + exact correction (no native
     # integer divide on the VPU; values < 2^23 keep f32 near-exact).
@@ -200,9 +205,9 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
     key = jnp.where(
         valid,
         tile.astype(jnp.uint32) * jnp.uint32(span)
-        + filled[4].astype(jnp.uint32),
+        + filled[2].astype(jnp.uint32),
         invalid_key)
-    gid = jnp.where(valid, filled[5].astype(jnp.int32), p)
+    gid = jnp.where(valid, filled[3].astype(jnp.int32), p)
 
     counts = _rect_histogram(proc, opts, last_full)
     pad = (-counts) % k
