@@ -58,15 +58,28 @@ def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
     return m
 
 
+def _bf16_split(v: jax.Array):
+    """v -> (hi, lo) bf16 with hi + lo ≈ v (compensated split). The
+    optimization_barrier is load-bearing: without it XLA's algebraic
+    simplifier pushes the narrowing convert into the subtraction and
+    folds `lo` to EXACTLY ZERO (bf16(v - f32(bf16(v))) -> bf16(v) -
+    bf16(v)), silently degrading every 3-pass split to a single bf16
+    pass (~2^-9 error; observed as SSIM values outside [-1, 1] blowing
+    up the training loss). Whether the rewrite fires depends on the
+    surrounding program, so isolated unit tests pass while the fused
+    train step misbehaves — keep the barrier."""
+    hi = jax.lax.optimization_barrier(v.astype(jnp.bfloat16))
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _band_split3(b: jax.Array, x: jax.Array, sub: int) -> jax.Array:
     """b @ x contracting b's axis 1 with x's axis `sub`, as THREE bf16
     MXU passes (both operands split hi+lo, the lo*lo term dropped —
     ~2^-17 relative vs ~2x the cost of HIGHEST's six passes). The
     contracted axis lands on x's output axis 0."""
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh, bl = _bf16_split(b)
+    xh, xl = _bf16_split(x)
     dn = (((1,), (sub,)), ((), ()))
     kw = dict(preferred_element_type=jnp.float32)
     out = jax.lax.dot_general(bh, xh, dn, **kw)

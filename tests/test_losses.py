@@ -112,3 +112,44 @@ def test_fast_ssim_close_to_exact(rng):
     # cotangents to bf16 in the transposed dots.
     assert d.mean() < 2e-3, d.mean()
     assert d.max() < 3e-2, d.max()
+
+
+def test_fast_ssim_not_folded_under_jit(rng):
+    """Regression: XLA's algebraic simplifier used to fold the blur
+    split's compensation term to exactly zero (pushing the bf16 convert
+    into `v - f32(bf16(v))`), silently degrading the 3-pass split to a
+    single bf16 pass. On smooth near-white renders the resulting sigma
+    error drove SSIM denominators through zero — training losses of
+    -80..+40. The folding only fires inside larger fused programs, so
+    this test jits fast+exact together and checks a smooth image pair
+    (the failing class); `_bf16_split`'s barrier is the fix."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.linspace(0, 1, 160, dtype=np.float32)
+    xx, yy = np.meshgrid(x, x)
+    blob = np.exp(-((xx - 0.5) ** 2 + (yy - 0.55) ** 2) / 0.01)
+    a = 1.0 - 0.5 * np.stack([blob, blob * 0.8, blob * 0.6], -1)
+    b = np.clip(a + 0.02 * rng.standard_normal(a.shape), 0, 1)
+    a = jnp.asarray(a, jnp.float32)[None]
+    b = jnp.asarray(b, jnp.float32)[None]
+
+    @jax.jit
+    def both(a, b):
+        return losses.ssim(a, b, fast=True), losses.ssim(a, b)
+
+    s_f, s_hi = [float(v) for v in both(a, b)]
+    assert -1.0 <= s_f <= 1.0, s_f
+    # Small-sigma regions amplify the split's ~2^-17 blur error; the
+    # folding bug produced |errors| of 20-100 here.
+    assert abs(s_f - s_hi) < 1e-3, (s_f, s_hi)
+
+    # The split's lo term must survive compilation (non-zero for
+    # non-bf16-representable inputs).
+    @jax.jit
+    def lo_mag(v):
+        _, lo = losses._bf16_split(v)
+        return jnp.abs(lo.astype(jnp.float32)).max()
+
+    v = jnp.asarray(rng.random((256,)) + 0.5, jnp.float32)
+    assert float(lo_mag(v)) > 0.0
