@@ -67,6 +67,9 @@ class StepMetrics(NamedTuple):
     psnr: jax.Array
     num_rendered: jax.Array    # () int32 max over batch
     max_per_tile: jax.Array    # () int32 max over batch
+    instances_dropped: jax.Array  # () int32 SUM over batch — instances
+    #                               the binner truncated away (0 except
+    #                               on an overflow spike step)
     n_active: jax.Array
     rigid: jax.Array
     motion: jax.Array
@@ -149,6 +152,7 @@ def build_step_fn(
             return color, dict(visible=out.visible, radii=out.radii,
                                num_rendered=out.num_rendered,
                                max_per_tile=out.max_per_tile,
+                               instances_dropped=out.instances_dropped,
                                alpha=out.alpha)
 
         color_s, aux = jax.vmap(render_one)(cams, tap, intrinsics)
@@ -281,6 +285,7 @@ def build_step_fn(
             ssim_loss=jnp.mean(aux["lssim"]), psnr=psnr,
             num_rendered=jnp.max(aux["num_rendered"]),
             max_per_tile=jnp.max(aux["max_per_tile"]),
+            instances_dropped=jnp.sum(aux["instances_dropped"]),
             n_active=gauss.n_active,
             rigid=aux["rigid"], motion=aux["motion"])
         return gauss, env, metrics

@@ -167,7 +167,10 @@ class Trainer:
         # Dedicated single worker so queued checkpoint writes to the same
         # path land in submission order.
         self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
-        self._inflight = deque()   # (it, num_rendered, max_per_tile) probes
+        self._inflight = deque()   # (it, num_rendered, max_per_tile,
+        #                             instances_dropped) probes
+        self.truncated_steps = 0          # iterations that trained on a
+        self.instances_dropped_total = 0  # truncated instance list
         self.metrics_log = MetricsLogger(cfg.model.model_path)
         # TensorBoard event file in the model dir (the reference's
         # SummaryWriter(args.model_path), `train.py:255-263`); scalars
@@ -574,10 +577,22 @@ class Trainer:
                 # pipeline intact) so a densify-induced spike grows budgets
                 # within ~1-2 steps instead of waiting for the next sync.
                 self._inflight.append(
-                    (it, metrics.num_rendered, metrics.max_per_tile))
+                    (it, metrics.num_rendered, metrics.max_per_tile,
+                     metrics.instances_dropped))
                 while self._inflight and self._inflight[0][1].is_ready():
-                    pit, nr_arr, mpt_arr = self._inflight.popleft()
-                    nr, mpt = int(nr_arr), int(mpt_arr)
+                    pit, nr_arr, mpt_arr, drop_arr = self._inflight.popleft()
+                    nr, mpt, drop = int(nr_arr), int(mpt_arr), int(drop_arr)
+                    if drop > 0:
+                        # The reference never truncates (resize callback,
+                        # rasterize_points.cu:28-34); count and surface
+                        # every iteration that trained on a truncated
+                        # instance list.
+                        self.truncated_steps += 1
+                        self.instances_dropped_total += drop
+                        self.log(f"WARNING: it {pit} trained with {drop} "
+                                 f"instances dropped (truncated step "
+                                 f"#{self.truncated_steps})")
+                        self.metrics_log.log(pit, instances_dropped=drop)
                     if nr > self.inst_capacity or mpt > self.tile_capacity:
                         self.log(f"overflow at it {pit} "
                                  f"(instances {nr}/{self.inst_capacity}, "
@@ -667,6 +682,16 @@ class Trainer:
                     self.save(os.path.join(
                         self.cfg.model.model_path, f"chkpnt{it}.pkl"),
                         sync=False)
+        # Drain the overflow watch so trailing truncated steps are counted.
+        while self._inflight:
+            pit, _, _, drop_arr = self._inflight.popleft()
+            drop = int(drop_arr)
+            if drop > 0:
+                self.truncated_steps += 1
+                self.instances_dropped_total += drop
+                self.log(f"WARNING: it {pit} trained with {drop} instances "
+                         f"dropped (truncated step #{self.truncated_steps})")
+                self.metrics_log.log(pit, instances_dropped=drop)
         self.wait_for_saves()
         return self.gauss
 

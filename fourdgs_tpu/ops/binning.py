@@ -36,6 +36,9 @@ class TileBins(NamedTuple):
     offsets: jax.Array         # (P,) int32 inclusive cumsum of tiles_touched
     num_rendered: jax.Array    # () int32 — true instance count (may exceed capacity)
     max_per_tile: jax.Array    # () int32 — densest tile population (for host schedule)
+    dropped: jax.Array         # () int32 — instances NOT rendered this step
+    #                            (capacity overflow + per-tile walk-bound
+    #                             overflow); 0 in steady state
 
 
 class AlignedBins(NamedTuple):
@@ -57,6 +60,8 @@ class AlignedBins(NamedTuple):
     offsets: jax.Array         # (P,) int32 (from TileBins, for grad reduce)
     num_rendered: jax.Array    # () int32
     max_per_tile: jax.Array    # () int32
+    dropped: jax.Array         # () int32 — instances dropped by the
+    #                            capacity truncation (0 in steady state)
 
 
 def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
@@ -243,6 +248,7 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         offsets=offsets,
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
+        dropped=num_rendered - num_eff,
     )
 
 
@@ -332,16 +338,21 @@ def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
         offsets=offsets,
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
+        dropped=num_rendered - num_eff,
     )
 
 
 def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
-                  capacity: int) -> TileBins:
+                  capacity: int,
+                  max_per_tile: int | None = None) -> TileBins:
     """Build the sorted (tile, depth) instance list.
 
     `capacity` is the static instance budget R. If the true number of
     instances exceeds it, later gaussians' instances are dropped and
     `num_rendered > capacity` signals the host to grow the budget.
+    `max_per_tile` (the blend's static per-tile walk bound, when given)
+    only feeds the `dropped` observability counter — instances past the
+    bound in an over-dense tile are never walked by the blend.
     """
     p = proc.tiles_touched.shape[0]
     num_tiles = opts.num_tiles
@@ -392,6 +403,11 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
     tile_start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
     tile_stop = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
 
+    counts = tile_stop - tile_start
+    dropped = jnp.maximum(num_rendered - capacity, 0)
+    if max_per_tile is not None:
+        dropped = dropped + jnp.sum(jnp.maximum(counts - max_per_tile, 0))
+
     return TileBins(
         gauss_id=gid_s,
         expansion_slot=slot_s,
@@ -400,7 +416,8 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
         tile_stop=tile_stop,
         offsets=offsets,
         num_rendered=num_rendered,
-        max_per_tile=jnp.max(tile_stop - tile_start),
+        max_per_tile=jnp.max(counts),
+        dropped=dropped,
     )
 
 

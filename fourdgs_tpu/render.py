@@ -29,6 +29,11 @@ class RenderOutputs(NamedTuple):
     visible: jax.Array      # (P,) bool
     num_rendered: jax.Array  # () int32 (host checks vs capacity)
     max_per_tile: jax.Array  # () int32 (host checks vs blend bound)
+    instances_dropped: jax.Array  # () int32 — instances truncated away
+    #                         this render (capacity / tile-bound
+    #                         overflow); the reference never truncates
+    #                         (resize callback, rasterize_points.cu:28-34),
+    #                         so steady state must be 0
     cov3d_com: jax.Array    # (P, 6) conditional 3D covariance (packed) —
     #                         the reference's covs_com (rasterize_points.cu:147)
 
@@ -91,19 +96,23 @@ def render(
         color, depth_img, flow_img, alpha_img = pallas_blend.blend_pallas(
             pcfg, proc.xy, proc.conic, proc.opacity, feat, bg, abins)
         num_rendered, mpt = abins.num_rendered, abins.max_per_tile
+        dropped = abins.dropped
     else:
         bins = binning.bin_gaussians(
-            jax.lax.stop_gradient(proc), opts, capacity)
+            jax.lax.stop_gradient(proc), opts, capacity,
+            max_per_tile=max_per_tile)
         cfg = blend_lib.make_blend_config(opts, chunk=chunk,
                                           max_per_tile=max_per_tile)
         color, depth_img, flow_img, alpha_img = blend_lib.blend(
             cfg, proc.xy, proc.conic, proc.opacity, feat, bg, bins)
         num_rendered, mpt = bins.num_rendered, bins.max_per_tile
+        dropped = bins.dropped
 
     return RenderOutputs(
         color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
         radii=proc.radius, visible=proc.visible,
-        num_rendered=num_rendered, max_per_tile=mpt, cov3d_com=proc.cov3d)
+        num_rendered=num_rendered, max_per_tile=mpt,
+        instances_dropped=dropped, cov3d_com=proc.cov3d)
 
 
 def mark_visible(means3d: jax.Array, viewmatrix: jax.Array,

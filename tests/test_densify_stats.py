@@ -64,8 +64,11 @@ def test_batch_stats_match_reference_semantics(rng):
                 rotations_r=act.rotations_r, opacity=act.opacity,
                 sh=act.sh, active=act.active, camera=cam_i, bg=bg,
                 opts=opts, sh_mask=sh_mask, mean2d_tap=tap, **kw)
-            # reference: per-camera loss / batch_size
-            l, _, _ = photometric_loss(out.color, gt[i], 0.2)
+            # reference: per-camera loss / batch_size. fast=True matches
+            # the step's production loss mode — this test checks the
+            # batch-renormalization SEMANTICS, not loss numerics (the
+            # fast-vs-exact gap is covered in test_losses).
+            l, _, _ = photometric_loss(out.color, gt[i], 0.2, fast=True)
             return l / B, out.visible
 
         tap0 = jnp.zeros((P_CAP, 2))
