@@ -112,6 +112,12 @@ class ViewerServer:
             self._try_accept()
             if self.conn is None:
                 return True
+        # Only read when a request header is already pending: a keep-alive
+        # client with no new request must not block the caller's loop.
+        import select
+        ready, _, _ = select.select([self.conn], [], [], 0)
+        if not ready:
+            return True
         try:
             message = self._read_message()
             req = decode_camera(message)

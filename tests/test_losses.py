@@ -153,3 +153,70 @@ def test_fast_ssim_not_folded_under_jit(rng):
 
     v = jnp.asarray(rng.random((256,)) + 0.5, jnp.float32)
     assert float(lo_mag(v)) > 0.0
+
+
+def _msssim_oracle_f64(img1, img2):
+    """Independent float64 MS-SSIM oracle (scipy, plain loops): the
+    published Wang'03 algorithm with torchmetrics' default parameters
+    (11x11 gaussian sigma 1.5, 5 scales, betas, relu-normalized cs,
+    floor 2x2 avg-pool) and this repo's documented 'same' zero padding.
+    torchmetrics itself is not installable in this environment
+    (VERDICT r3 item 8) — this verifies the production implementation's
+    banded-MXU numerics against trivially-readable reference math."""
+    from scipy.ndimage import convolve1d
+
+    betas = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+    x = np.arange(11) - 5
+    g = np.exp(-(x ** 2) / (2.0 * 1.5 ** 2))
+    g = g / g.sum()
+
+    def blur(im):
+        out = convolve1d(im, g, axis=0, mode="constant")
+        return convolve1d(out, g, axis=1, mode="constant")
+
+    def ssim_cs(a, b):
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        mu1 = np.stack([blur(a[..., c]) for c in range(3)], -1)
+        mu2 = np.stack([blur(b[..., c]) for c in range(3)], -1)
+        s1 = np.stack([blur((a * a)[..., c]) for c in range(3)], -1) - mu1 ** 2
+        s2 = np.stack([blur((b * b)[..., c]) for c in range(3)], -1) - mu2 ** 2
+        s12 = np.stack([blur((a * b)[..., c]) for c in range(3)], -1) - mu1 * mu2
+        cs = (2 * s12 + c2) / (s1 + s2 + c2)
+        ssim = ((2 * mu1 * mu2 + c1) / (mu1 ** 2 + mu2 ** 2 + c1)) * cs
+        return ssim.mean(), cs.mean()
+
+    def pool(im):
+        h, w = im.shape[0] // 2 * 2, im.shape[1] // 2 * 2
+        im = im[:h, :w]
+        return 0.25 * (im[0::2, 0::2] + im[1::2, 0::2]
+                       + im[0::2, 1::2] + im[1::2, 1::2])
+
+    a, b = img1.astype(np.float64), img2.astype(np.float64)
+    vals = []
+    for i in range(5):
+        s, cs = ssim_cs(a, b)
+        vals.append(s if i == 4 else cs)
+        if i < 4:
+            a, b = pool(a), pool(b)
+    out = 1.0
+    for v, beta in zip(vals, betas):
+        out *= max(v, 0.0) ** beta
+    return out
+
+
+def test_msssim_matches_independent_f64_oracle(rng):
+    import jax.numpy as jnp
+
+    # Structured pair (smooth blobs + noise) and a pure-noise pair.
+    x = np.linspace(0, 1, 192, dtype=np.float32)
+    xx, yy = np.meshgrid(x, x)
+    blob = np.exp(-((xx - 0.45) ** 2 + (yy - 0.6) ** 2) / 0.02)
+    a1 = 1.0 - 0.6 * np.stack([blob, 0.7 * blob, 0.4 * blob], -1)
+    b1 = np.clip(a1 + 0.05 * rng.standard_normal(a1.shape), 0, 1)
+    a2 = rng.random((192, 192, 3)).astype(np.float32)
+    b2 = rng.random((192, 192, 3)).astype(np.float32)
+    for a, b in ((a1, b1), (a2, b2)):
+        got = float(losses.msssim(jnp.asarray(a, jnp.float32)[None],
+                                  jnp.asarray(b, jnp.float32)[None]))
+        want = _msssim_oracle_f64(a, b)
+        assert abs(got - want) < 2e-4, (got, want)

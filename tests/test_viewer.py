@@ -53,13 +53,21 @@ def test_viewer_roundtrip():
         img[..., 0] = 1.0
         return img
 
-    # poll until the request is served
-    for _ in range(200):
+    # Poll until the request is served, with a real deadline. A fixed
+    # iteration count used to exhaust before the client thread even
+    # connected on a loaded machine; server.close() then reset the
+    # client's blocked recv -> ConnectionResetError in the thread
+    # (PytestUnhandledThreadExceptionWarning under the full suite).
+    import time
+    deadline = time.monotonic() + 20.0
+    keep = True
+    while not result and time.monotonic() < deadline:
         keep = server.poll(render, verify="ok")
-        if result:
-            break
+        time.sleep(0.001)
     th.join(timeout=5)
+    assert not th.is_alive()
     server.close()
+    assert result, "viewer request was never served"
     assert keep is True
     assert result["verify"] == "ok"
     assert (result["img"][..., 0] == 255).all()
