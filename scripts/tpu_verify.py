@@ -90,10 +90,16 @@ def full():
     diff = {k: scene[k] for k in DIFF_KEYS}
     aux = {"active": scene["active"]}
 
+    # jit each pass: eagerly the 800x800 graphs dispatch thousands of ops
+    # through the ~10ms serializing tunnel (>10 min just in dispatch) and
+    # nothing lands in the persistent compile cache.
+    fwd = jax.jit(lambda s, backend: render(
+        **s, camera=cam, bg=bg, opts=opts, backend=backend, **kw),
+        static_argnames=("backend",))
     t0 = time.perf_counter()
-    out_x = jax.block_until_ready(render(**scene, camera=cam, bg=bg, opts=opts, backend="xla", **kw))
+    out_x = jax.block_until_ready(fwd(scene, "xla"))
     t1 = time.perf_counter()
-    out_p = jax.block_until_ready(render(**scene, camera=cam, bg=bg, opts=opts, backend="pallas", **kw))
+    out_p = jax.block_until_ready(fwd(scene, "pallas"))
     t2 = time.perf_counter()
     print(f"[full] fwd xla {t1-t0:.1f}s pallas {t2-t1:.1f}s (incl. compile)")
     for name in ("color", "alpha", "depth"):
@@ -106,12 +112,13 @@ def full():
                      backend=backend, fast_grad_reduce=fast, **kw)
         l, _, _ = photometric_loss(out.color, tgt)
         return l + 1e-4 * jnp.sum(out.depth) + 0.1 * jnp.mean(out.alpha)
+    gradfn = jax.jit(jax.grad(loss), static_argnames=("backend", "fast"))
     t0 = time.perf_counter()
-    g_exact = jax.block_until_ready(jax.grad(lambda d: loss(d, "pallas", False))(diff))
+    g_exact = jax.block_until_ready(gradfn(diff, backend="pallas", fast=False))
     t1 = time.perf_counter()
-    g_xla = jax.block_until_ready(jax.grad(lambda d: loss(d, "xla", False))(diff))
+    g_xla = jax.block_until_ready(gradfn(diff, backend="xla", fast=False))
     t2 = time.perf_counter()
-    g_fast = jax.block_until_ready(jax.grad(lambda d: loss(d, "pallas", True))(diff))
+    g_fast = jax.block_until_ready(gradfn(diff, backend="pallas", fast=True))
     t3 = time.perf_counter()
     print(f"[full] bwd pallas {t1-t0:.1f}s xla {t2-t1:.1f}s fast {t3-t2:.1f}s (incl. compile)")
     check_grads("full exact-vs-xla", g_exact, g_xla, 5e-3,
