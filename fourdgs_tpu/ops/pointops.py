@@ -141,3 +141,83 @@ def attention_step2_with_rel_pos_value(
     pos = sum(table[rel_idx[:, a], :, :, a] for a in range(3))
     contrib = attn[:, :, None] * (v[index1] + pos)
     return jax.ops.segment_sum(contrib, index0, num_segments=n)
+
+
+# ---- v2/v3 variants --------------------------------------------------------
+# The reference binds CSR-layout performance variants of the ops above
+# (`pointops_api.cpp:16-45`): edges are grouped per query and addressed by
+# `index0_offsets` (length N_q+1 exclusive starts; query i owns edges
+# [offsets[i], offsets[i+1])) instead of a COO index0 column, and the
+# rel-pos dot product splits the table into a query and a key side. On
+# TPU the CSR layout buys nothing — gathers/segment-sums are the same —
+# so these decode CSR -> COO and share the math; `n_max` (the reference's
+# CUDA block-size bound, <= 1024) is accepted and ignored.
+
+
+def _csr_to_coo(offsets: jax.Array, m: int) -> jax.Array:
+    """index0_offsets (N+1,) -> per-edge query index (m,)."""
+    return (jnp.searchsorted(offsets, jnp.arange(m, dtype=offsets.dtype),
+                             side="right") - 1).astype(jnp.int32)
+
+
+def attention_step1_v2(q: jax.Array, k: jax.Array, index1: jax.Array,
+                       index0_offsets: jax.Array,
+                       n_max: int | None = None) -> jax.Array:
+    """CSR attention_step1 (reference `pointops.py:142-203`)."""
+    del n_max
+    index0 = _csr_to_coo(index0_offsets, index1.shape[0])
+    return attention_step1(q, k, index0, index1)
+
+
+def attention_step2_v2(attn: jax.Array, v: jax.Array,
+                       index0_offsets: jax.Array, index1: jax.Array,
+                       n_max: int | None = None,
+                       n: int | None = None) -> jax.Array:
+    """CSR attention_step2 (reference `pointops.py:268-318`)."""
+    del n_max
+    index0 = _csr_to_coo(index0_offsets, index1.shape[0])
+    return attention_step2(attn, v, index0, index1, n)
+
+
+def _rel_table_sum(table: jax.Array, rel_idx: jax.Array) -> jax.Array:
+    """(L, h, d, 3), (M, 3) -> (M, h, d): per-axis table rows summed
+    (`relative_pos_encoding_cuda_kernel_v2.cu:276-279`)."""
+    return sum(table[rel_idx[:, a], :, :, a] for a in range(3))
+
+
+def dot_prod_with_idx_v2(q: jax.Array, index_q: jax.Array, k: jax.Array,
+                         index_k: jax.Array, table_q: jax.Array,
+                         table_k: jax.Array,
+                         rel_idx: jax.Array) -> jax.Array:
+    """Two-sided relative-position logits (reference `pointops.py:372-443`):
+    out[m, h] = q[index_q[m]] . table_q(rel_idx[m]) +
+                k[index_k[m]] . table_k(rel_idx[m])."""
+    return (jnp.einsum("mhd,mhd->mh", q[index_q],
+                       _rel_table_sum(table_q, rel_idx))
+            + jnp.einsum("mhd,mhd->mh", k[index_k],
+                         _rel_table_sum(table_k, rel_idx)))
+
+
+def dot_prod_with_idx_v3(q: jax.Array, index_q_offsets: jax.Array,
+                         n_max: int | None, k: jax.Array,
+                         index_k: jax.Array, table_q: jax.Array,
+                         table_k: jax.Array,
+                         rel_idx: jax.Array) -> jax.Array:
+    """dot_prod_with_idx_v2 with a CSR query index
+    (reference `pointops.py:446-519`)."""
+    del n_max
+    index_q = _csr_to_coo(index_q_offsets, index_k.shape[0])
+    return dot_prod_with_idx_v2(q, index_q, k, index_k, table_q, table_k,
+                                rel_idx)
+
+
+def attention_step2_with_rel_pos_value_v2(
+        attn: jax.Array, v: jax.Array, index0_offsets: jax.Array,
+        n_max: int | None, index1: jax.Array, table: jax.Array,
+        rel_idx: jax.Array, n: int | None = None) -> jax.Array:
+    """CSR attention_step2_with_rel_pos_value
+    (reference `pointops.py:584-646`)."""
+    del n_max
+    index0 = _csr_to_coo(index0_offsets, index1.shape[0])
+    return attention_step2_with_rel_pos_value(attn, v, index0, index1,
+                                              table, rel_idx, n)
