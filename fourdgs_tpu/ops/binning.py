@@ -51,21 +51,13 @@ class AlignedBins(NamedTuple):
     reduce un-sorts by SORTING the gradient columns on `slot` (sorts are
     the cheapest permutation primitive on TPU)."""
     gauss_id: jax.Array        # (Rp,) int32 (p = invalid padding)
-    reduce_key: jax.Array      # (Rp,) uint32: grad-reduce sort key per
-    #                            aligned row — the owning gaussian's depth
-    #                            RANK (rank path; equal keys group a
-    #                            gaussian's rows) or the expansion slot
-    #                            (lex path; unique). Dummy/padding rows
-    #                            carry a key that sorts after every live
-    #                            one.
+    slot: jax.Array            # (Rp,) int32: aligned pos -> expansion slot
+    #                            (a permutation of [0, rp); dummies own
+    #                             slots >= capacity)
     tile_start: jax.Array      # (num_tiles,) int32 — K-aligned offsets
     tile_count: jax.Array      # (num_tiles,) int32 — true instance counts
     total_len: jax.Array       # () int32 — end of the live aligned region
-    seg_offsets: jax.Array     # (P,) int32 inclusive segment-end offsets
-    #                            in reduce_key order (for grad reduce)
-    out_perm: jax.Array        # (P,) int32: gaussian index -> its segment
-    #                            index in reduce_key order (rank path:
-    #                            rank(g); lex path: identity)
+    offsets: jax.Array         # (P,) int32 (from TileBins, for grad reduce)
     num_rendered: jax.Array    # () int32
     max_per_tile: jax.Array    # () int32
     dropped: jax.Array         # () int32 — instances dropped by the
@@ -188,6 +180,7 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         xyw,
         begin,                                              # first slot
         rank,
+        iota_p,                                             # gid
     ]
     rows = []
     for f in fields:
@@ -219,6 +212,7 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         tile.astype(jnp.uint32) * jnp.uint32(span)
         + filled[2].astype(jnp.uint32),
         invalid_key)
+    gid = jnp.where(valid, filled[3].astype(jnp.int32), p)
 
     counts = _rect_histogram(proc, opts, last_full)
     pad = (-counts) % k
@@ -236,34 +230,22 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         dummy_t.astype(jnp.uint32) * jnp.uint32(span)
         + jnp.uint32(span - 1),
         invalid_key).reshape(-1)
+    n_dummy = num_tiles * k
     all_key = jnp.concatenate([key, dummy_key])
+    all_gid = jnp.concatenate([gid, jnp.full((n_dummy,), p, jnp.int32)])
+    all_slot = jnp.concatenate(
+        [slots, capacity + jnp.arange(n_dummy, dtype=jnp.int32)])
 
-    # SINGLE-OPERAND sort: gid and the reduce key both decode from the
-    # sorted key itself (rank = key mod span, span a power of two;
-    # gauss_of_rank maps rank -> gaussian, padded so the dummy/invalid
-    # rank span-1 yields the sentinel gid p). Sorting payload columns
-    # alongside the key costs real merge bandwidth; the post-sort gather
-    # reads the span-row table once per aligned row instead.
-    key_s = jax.lax.sort(all_key, is_stable=False)
-    rank_s = (key_s & jnp.uint32(span - 1)).astype(jnp.int32)
-    rank_to_gid = jnp.concatenate(
-        [gauss_of_rank, jnp.full((span - p,), p, jnp.int32)])
-    gid_s = rank_to_gid[rank_s]
-
-    # Grad-reduce bookkeeping in RANK space: segment r collects every
-    # instance of the gaussian with depth-rank r; truncated gaussians
-    # (index > last_full) contribute empty segments.
-    tt_eff = jnp.where(iota_p <= last_full, proc.tiles_touched, 0)
-    seg_offsets = jnp.cumsum(tt_eff[gauss_of_rank], dtype=jnp.int32)
+    _, gid_s, slot_s = jax.lax.sort(
+        (all_key, all_gid, all_slot), num_keys=1, is_stable=False)
 
     return AlignedBins(
         gauss_id=gid_s,
-        reduce_key=rank_s.astype(jnp.uint32),
+        slot=slot_s,
         tile_start=aligned_off,
         tile_count=counts,
         total_len=total_len,
-        seg_offsets=seg_offsets,
-        out_perm=rank,
+        offsets=offsets,
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
         dropped=num_rendered - num_eff,
@@ -349,15 +331,11 @@ def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
 
     return AlignedBins(
         gauss_id=gid_s,
-        # Expansion slot as the reduce key (unique; dummies carry slots
-        # >= capacity and sort last); segments are the expansion-order
-        # instance runs, so out_perm is the identity.
-        reduce_key=slot_s.astype(jnp.uint32),
+        slot=slot_s,
         tile_start=aligned_off,
         tile_count=counts,
         total_len=total_len,
-        seg_offsets=offsets,
-        out_perm=jnp.arange(p, dtype=jnp.int32),
+        offsets=offsets,
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
         dropped=num_rendered - num_eff,
@@ -482,21 +460,19 @@ def aligned_entry_grads_to_gaussian_grads(
     capacity: int,               # R of the pre-alignment instance list
     fast: bool = False,          # bf16 sort payloads (see fast_grad_reduce)
 ) -> jax.Array:
-    """Aligned-layout gradient reduce: group each gaussian's rows by
-    SORTING the gradient columns on `reduce_key` (one multi-payload
+    """Aligned-layout gradient reduce: un-sort to expansion order by
+    SORTING the gradient columns on the expansion slot (one multi-payload
     `lax.sort` — profiled cheaper than the row gather through an inverse
-    permutation), then cumsum segment sums.
+    permutation, and it removes the second sort that built that inverse),
+    then cumsum segment sums per gaussian.
 
-    reduce_key is the owning gaussian's depth rank (rank binning) or the
-    expansion slot (lex binning); either way the sorted prefix
-    [:capacity] groups every gaussian's rows into the contiguous segment
-    [seg_offsets[r-1], seg_offsets[r]), and `out_perm` maps gaussian
-    index -> segment. Rows past `total_len` are never written by the
-    backward kernel (garbage memory) — their payload is zeroed before
-    the sort; dummy/padding rows carry keys that sort past every live
-    row. The cumsum runs in the (C, R) field-major layout along the
+    `slot` is a permutation of [0, rp), so the sorted prefix [:capacity]
+    IS expansion order. Rows past `total_len` are never written by the
+    backward kernel (garbage memory) — their payload is zeroed before the
+    sort; dummy/padding rows carry slots >= capacity and sort past the
+    prefix. The cumsum runs in the (C, R) field-major layout along the
     lane axis — an (R, C) layout pads C -> 128 lanes on TPU and costs
-    ~10x the HBM traffic. Returns (P, C) f32 in gaussian order.
+    ~10x the HBM traffic. Returns (P, C) f32.
 
     A uint32 input means the backward kernel ALREADY packed bf16
     channel pairs into u32 rows (PallasBlendConfig.packed_grads):
@@ -528,8 +504,7 @@ def aligned_entry_grads_to_gaussian_grads(
                     cols[i + 1].astype(jnp.bfloat16), jnp.uint16
                 ).astype(jnp.uint32) if i + 1 < c else jnp.uint32(0))
                 packed.append(hi | lo)
-        sorted_ = jax.lax.sort((abins.reduce_key,) + tuple(packed),
-                               num_keys=1)
+        sorted_ = jax.lax.sort((abins.slot,) + tuple(packed), num_keys=1)
         rows = []
         for i, s in enumerate(sorted_[1:]):
             s = s[:capacity]
@@ -541,18 +516,16 @@ def aligned_entry_grads_to_gaussian_grads(
         stacked = jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
     else:
         cols = [jnp.where(live, entry_grads_fm[i], 0.0) for i in range(c)]
-        sorted_ = jax.lax.sort((abins.reduce_key,) + tuple(cols),
-                               num_keys=1)
+        sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
         stacked = jnp.stack(
             [s[:capacity] for s in sorted_[1:]], axis=0)
     csum = _cumsum_lanes(stacked)                 # (C, R) f32
-    hi = jnp.minimum(abins.seg_offsets, capacity) - 1
+    hi = jnp.minimum(abins.offsets, capacity) - 1
     lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                      abins.seg_offsets[:-1]]), capacity) - 1
+                                      abins.offsets[:-1]]), capacity) - 1
     csum_z = jnp.concatenate(
         [jnp.zeros((c, 1), jnp.float32), csum], axis=1)
-    per_seg = (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T   # (P, C)
-    return per_seg[abins.out_perm]
+    return (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T
 
 
 def entry_grads_to_gaussian_grads(

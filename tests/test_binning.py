@@ -74,33 +74,17 @@ def test_aligned_matches_naive(rng, p, dup_depths, force_lex):
     want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, capacity)
 
     gid = np.asarray(ab.gauss_id)
+    slot = np.asarray(ab.slot)
     start = np.asarray(ab.tile_start)
     count = np.asarray(ab.tile_count)
     assert int(ab.num_rendered) == sum(len(v) for v in want.values())
     for t in range(OPTS.num_tiles):
         assert start[t] % k == 0, "tile range not K-aligned"
-        got = [int(gid[i]) for i in range(start[t], start[t] + count[t])]
-        assert got == [g for g, _ in want[t]], f"tile {t} mismatch"
-
-    # Grad-reduce contract (both key schemes): sorting per-row values by
-    # reduce_key and summing segment [seg_offsets[s-1], seg_offsets[s])
-    # must recover each gaussian's own rows at segment out_perm[g].
-    # Emulates aligned_entry_grads_to_gaussian_grads with value g+1 on
-    # gaussian g's real rows and 0 on dummy/garbage rows.
-    rkey = np.asarray(ab.reduce_key)
-    out_perm = np.asarray(ab.out_perm)
-    seg = np.minimum(np.asarray(ab.seg_offsets), capacity)
-    total_len = int(ab.total_len)
-    real = (np.arange(gid.shape[0]) < total_len) & (gid < p)
-    val = np.where(real, gid + 1.0, 0.0)
-    order = np.argsort(rkey, kind="stable")
-    sorted_val = val[order][:capacity]
-    csum = np.concatenate([[0.0], np.cumsum(sorted_val)])
-    lo = np.concatenate([[0], seg[:-1]])
-    sums = csum[seg] - csum[lo]
-    tt = np.asarray(proc.tiles_touched)
-    for g in range(p):
-        assert sums[out_perm[g]] == tt[g] * (g + 1.0), g
+        got = [(int(gid[i]), int(slot[i]))
+               for i in range(start[t], start[t] + count[t])]
+        assert got == want[t], f"tile {t} mismatch"
+    # The slot column is a permutation of [0, rp).
+    assert np.array_equal(np.sort(slot), np.arange(slot.shape[0]))
 
 
 def test_aligned_whole_gaussian_truncation(rng):
