@@ -48,16 +48,21 @@ class AlignedBins(NamedTuple):
     slots point at gaussian `p` (invalid). Built WITHOUT large scatters
     (XLA scatter on TPU is ~20x slower than gather): tile membership of
     aligned positions comes from a boundary-mark cumsum; the gradient
-    reduce un-sorts by SORTING the gradient columns on `slot` (sorts are
-    the cheapest permutation primitive on TPU)."""
-    gauss_id: jax.Array        # (Rp,) int32 (p = invalid padding)
-    slot: jax.Array            # (Rp,) int32: aligned pos -> expansion slot
-    #                            (a permutation of [0, rp); dummies own
-    #                             slots >= capacity)
+    reduce groups each gaussian's rows by SORTING the gradient columns
+    on `gauss_id` (sorts are the cheapest permutation primitive on TPU,
+    and gauss_id is already a main-sort output — no extra payload
+    column rides the big sort for the reduce's sake)."""
+    gauss_id: jax.Array        # (Rp,) int32 (p = invalid padding) — also
+    #                            the grad-reduce sort key: equal ids
+    #                            group a gaussian's rows, dummy/garbage
+    #                            rows carry id p and sort last
     tile_start: jax.Array      # (num_tiles,) int32 — K-aligned offsets
     tile_count: jax.Array      # (num_tiles,) int32 — true instance counts
     total_len: jax.Array       # () int32 — end of the live aligned region
-    offsets: jax.Array         # (P,) int32 (from TileBins, for grad reduce)
+    seg_offsets: jax.Array     # (P,) int32 inclusive segment-end offsets
+    #                            in gauss_id order (cumsum of the
+    #                            truncation-aware tiles_touched) for the
+    #                            grad reduce
     num_rendered: jax.Array    # () int32
     max_per_tile: jax.Array    # () int32
     dropped: jax.Array         # () int32 — instances dropped by the
@@ -233,19 +238,26 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
     n_dummy = num_tiles * k
     all_key = jnp.concatenate([key, dummy_key])
     all_gid = jnp.concatenate([gid, jnp.full((n_dummy,), p, jnp.int32)])
-    all_slot = jnp.concatenate(
-        [slots, capacity + jnp.arange(n_dummy, dtype=jnp.int32)])
 
-    _, gid_s, slot_s = jax.lax.sort(
-        (all_key, all_gid, all_slot), num_keys=1, is_stable=False)
+    # TWO-operand main sort: the only payload is gauss_id (needed by the
+    # instance build anyway); the gradient reduce keys on it directly,
+    # so no expansion-slot column rides the 1M-row sort (measured
+    # ~1.5 ms/iter composed at bench shape for one extra payload).
+    _, gid_s = jax.lax.sort(
+        (all_key, all_gid), num_keys=1, is_stable=False)
+
+    # Grad-reduce segment boundaries in gaussian-id order: gaussian g's
+    # rows occupy [seg_offsets[g-1], seg_offsets[g]) of the gid-sorted
+    # gradient rows; truncated gaussians (index > last_full) contribute
+    # empty segments.
+    tt_eff = jnp.where(iota_p <= last_full, proc.tiles_touched, 0)
 
     return AlignedBins(
         gauss_id=gid_s,
-        slot=slot_s,
         tile_start=aligned_off,
         tile_count=counts,
         total_len=total_len,
-        offsets=offsets,
+        seg_offsets=jnp.cumsum(tt_eff, dtype=jnp.int32),
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
         dropped=num_rendered - num_eff,
@@ -325,17 +337,18 @@ def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
     # key reproduces the stable (tile, depth) order exactly — XLA's
     # stable sort would append a hidden iota operand for the same
     # tie-break; keying on slot drops that extra sorted column.
-    _, _, slot_s, gid_s = jax.lax.sort(
+    _, _, _, gid_s = jax.lax.sort(
         (all_tile, all_depth, all_slot, all_gid), num_keys=3,
         is_stable=False)
 
+    tt_eff = jnp.where(jnp.arange(p) <= last_full, proc.tiles_touched, 0)
+
     return AlignedBins(
         gauss_id=gid_s,
-        slot=slot_s,
         tile_start=aligned_off,
         tile_count=counts,
         total_len=total_len,
-        offsets=offsets,
+        seg_offsets=jnp.cumsum(tt_eff, dtype=jnp.int32),
         num_rendered=num_rendered,
         max_per_tile=jnp.max(counts),
         dropped=num_rendered - num_eff,
@@ -460,19 +473,23 @@ def aligned_entry_grads_to_gaussian_grads(
     capacity: int,               # R of the pre-alignment instance list
     fast: bool = False,          # bf16 sort payloads (see fast_grad_reduce)
 ) -> jax.Array:
-    """Aligned-layout gradient reduce: un-sort to expansion order by
-    SORTING the gradient columns on the expansion slot (one multi-payload
+    """Aligned-layout gradient reduce: group each gaussian's rows by
+    SORTING the gradient columns on `gauss_id` (one multi-payload
     `lax.sort` — profiled cheaper than the row gather through an inverse
-    permutation, and it removes the second sort that built that inverse),
-    then cumsum segment sums per gaussian.
+    permutation), then cumsum segment sums per gaussian.
 
-    `slot` is a permutation of [0, rp), so the sorted prefix [:capacity]
-    IS expansion order. Rows past `total_len` are never written by the
-    backward kernel (garbage memory) — their payload is zeroed before the
-    sort; dummy/padding rows carry slots >= capacity and sort past the
-    prefix. The cumsum runs in the (C, R) field-major layout along the
+    gauss_id is already a main-sort output (the instance build needs
+    it), so keying the reduce on it keeps the expansion-slot column off
+    the main sort entirely. Equal keys group a gaussian's rows; the
+    unstable sort may order them arbitrarily WITHIN the segment, which
+    only permutes the f32 summation order (the same reordering class as
+    permuting the gaussians themselves — see scripts/tpu_verify.py's
+    calibrated bound). Dummy/garbage rows carry id p and sort past the
+    live prefix; rows past `total_len` are never written by the
+    backward kernel (garbage memory) — their payload is zeroed before
+    the sort. The cumsum runs in the (C, R) field-major layout along the
     lane axis — an (R, C) layout pads C -> 128 lanes on TPU and costs
-    ~10x the HBM traffic. Returns (P, C) f32.
+    ~10x the HBM traffic. Returns (P, C) f32 in gaussian order.
 
     A uint32 input means the backward kernel ALREADY packed bf16
     channel pairs into u32 rows (PallasBlendConfig.packed_grads):
@@ -485,6 +502,7 @@ def aligned_entry_grads_to_gaussian_grads(
             raise ValueError("packed u32 gradient rows require fast=True")
         c = 2 * c
     live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
+    key = abins.gauss_id.astype(jnp.uint32)
     if fast:
         if pre_packed:
             packed = [jnp.where(live, entry_grads_fm[i], jnp.uint32(0))
@@ -504,7 +522,8 @@ def aligned_entry_grads_to_gaussian_grads(
                     cols[i + 1].astype(jnp.bfloat16), jnp.uint16
                 ).astype(jnp.uint32) if i + 1 < c else jnp.uint32(0))
                 packed.append(hi | lo)
-        sorted_ = jax.lax.sort((abins.slot,) + tuple(packed), num_keys=1)
+        sorted_ = jax.lax.sort((key,) + tuple(packed), num_keys=1,
+                               is_stable=False)
         rows = []
         for i, s in enumerate(sorted_[1:]):
             s = s[:capacity]
@@ -516,13 +535,14 @@ def aligned_entry_grads_to_gaussian_grads(
         stacked = jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
     else:
         cols = [jnp.where(live, entry_grads_fm[i], 0.0) for i in range(c)]
-        sorted_ = jax.lax.sort((abins.slot,) + tuple(cols), num_keys=1)
+        sorted_ = jax.lax.sort((key,) + tuple(cols), num_keys=1,
+                               is_stable=False)
         stacked = jnp.stack(
             [s[:capacity] for s in sorted_[1:]], axis=0)
     csum = _cumsum_lanes(stacked)                 # (C, R) f32
-    hi = jnp.minimum(abins.offsets, capacity) - 1
+    hi = jnp.minimum(abins.seg_offsets, capacity) - 1
     lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                      abins.offsets[:-1]]), capacity) - 1
+                                      abins.seg_offsets[:-1]]), capacity) - 1
     csum_z = jnp.concatenate(
         [jnp.zeros((c, 1), jnp.float32), csum], axis=1)
     return (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T

@@ -973,7 +973,7 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     # parity), so its cotangent is discarded by AD. Rows stay field-major
     # straight into the sort-based reduce — no transpose. Packed mode
     # hands over 5 u32 rows (= channels 0..9 as bf16 pairs).
-    capacity = abins.slot.shape[0] - cfg.num_tiles * CHUNK
+    capacity = abins.gauss_id.shape[0] - cfg.num_tiles * CHUNK
     n_rows = 5 if cfg.packed_grads else 10
     per_gauss = aligned_entry_grads_to_gaussian_grads(
         entry_grads[:n_rows], abins, capacity=capacity,

@@ -74,17 +74,47 @@ def test_aligned_matches_naive(rng, p, dup_depths, force_lex):
     want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, capacity)
 
     gid = np.asarray(ab.gauss_id)
-    slot = np.asarray(ab.slot)
     start = np.asarray(ab.tile_start)
     count = np.asarray(ab.tile_count)
     assert int(ab.num_rendered) == sum(len(v) for v in want.values())
     for t in range(OPTS.num_tiles):
         assert start[t] % k == 0, "tile range not K-aligned"
-        got = [(int(gid[i]), int(slot[i]))
-               for i in range(start[t], start[t] + count[t])]
-        assert got == want[t], f"tile {t} mismatch"
-    # The slot column is a permutation of [0, rp).
-    assert np.array_equal(np.sort(slot), np.arange(slot.shape[0]))
+        got = [int(gid[i]) for i in range(start[t], start[t] + count[t])]
+        assert got == [g for g, _ in want[t]], f"tile {t} mismatch"
+    # seg_offsets = inclusive cumsum of per-gaussian instance counts
+    # (the grad-reduce segment boundaries in gauss_id order).
+    assert np.array_equal(
+        np.asarray(ab.seg_offsets),
+        np.cumsum(np.asarray(proc.tiles_touched)))
+
+
+@pytest.mark.parametrize("fast", [False, True])
+@pytest.mark.parametrize("force_lex", [False, True])
+def test_aligned_grad_reduce_oracle(rng, force_lex, fast):
+    """The gid-keyed sort reduce must equal a per-gaussian numpy segment
+    sum of the live aligned rows (dummy/garbage rows excluded)."""
+    k = 8
+    p = 60
+    capacity = 512
+    proc = _proc(rng, p)
+    ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
+                                       force_lex=force_lex)
+    rp = ab.gauss_id.shape[0]
+    c = 10
+    grads = rng.normal(size=(c, rp)).astype(np.float32)
+    if fast:
+        # Match the fast path's bf16 payload rounding in the oracle.
+        grads = np.asarray(
+            jnp.asarray(grads).astype(jnp.bfloat16).astype(jnp.float32))
+    out = np.asarray(binning.aligned_entry_grads_to_gaussian_grads(
+        jnp.asarray(grads), ab, capacity=capacity, fast=fast))
+    gid = np.asarray(ab.gauss_id)
+    live = np.arange(rp) < int(ab.total_len)
+    want = np.zeros((p, c), np.float32)
+    for i in range(rp):
+        if live[i] and gid[i] < p:
+            want[gid[i]] += grads[:, i]
+    np.testing.assert_allclose(out, want, rtol=2e-2, atol=1e-4)
 
 
 def test_aligned_whole_gaussian_truncation(rng):
