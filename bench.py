@@ -146,12 +146,16 @@ def main():
 
     if "--render" in sys.argv:
         # Forward-only mode: the reference's headline claim is real-time
-        # RENDERING (README.md:1,14); this measures frames/s on one chip.
+        # RENDERING (README.md:1,14); this measures frames/s on one chip
+        # through the inference fast path (packed bf16-pair instance
+        # rows + 1-pass transmittance — ~0.4% opacity/color rounding,
+        # oracle-tested vs the exact path in tests/test_pallas_blend.py).
         def fwd_step(eps):
             cam2 = cam._replace(timestamp=cam.timestamp + eps)
             out = render(**diff, **aux, camera=cam2, bg=bg, opts=opts,
                          capacity=capacity, max_per_tile=max_per_tile,
-                         chunk=32, backend=backend)
+                         chunk=32, backend=backend,
+                         infer=(backend == "pallas"))
             return (jnp.mean(out.color) + jnp.mean(out.depth)
                     + jnp.mean(out.alpha))
 

@@ -92,6 +92,20 @@ class PallasBlendConfig(NamedTuple):
     # payloads directly (the XLA-side pack pass disappears). Only
     # meaningful with fast_grad_reduce (the exact path needs f32 rows).
     packed_grads: bool = False
+    # Inference-only fast path (forward kernel, no VJP): instance rows
+    # come PACKED as (8, Rp) u32 — xy/conic stay exact f32 bits, while
+    # opacity + rgb + depth ride as bf16 pairs (~0.4% rounding on
+    # opacity/color, invisible in rendered output) and flow is dropped.
+    # Halves the instance-gather and kernel instance-DMA bytes.
+    infer: bool = False
+
+    @property
+    def inst_rows(self) -> int:
+        return 8 if self.infer else ROW
+
+    @property
+    def inst_dtype(self):
+        return jnp.uint32 if self.infer else jnp.float32
 
     @property
     def grad_rows(self) -> int:
@@ -157,6 +171,45 @@ def _alpha_terms(inst, px, py):
     return power, g, alpha_raw, alpha, dx, dy, (ca, cb, cc, opa)
 
 
+def _unpack_hi(row):
+    """(N, K) u32 -> f32 decoded from the bf16 in the high half."""
+    return jax.lax.bitcast_convert_type(
+        (row >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+
+
+def _unpack_lo(row):
+    """(N, K) u32 -> f32 decoded from the bf16 in the low half."""
+    return jax.lax.bitcast_convert_type(
+        row.astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+
+
+def _alpha_terms_infer(inst, px, py):
+    """Per-chunk alpha math for the packed inference layout. inst:
+    (8, K) u32 — rows [0:5] xy/conic as raw f32 bits, [5] opa|r,
+    [6] g|b, [7] depth|0 as bf16 pairs. Returns (power, alpha,
+    feat8) with feat8 the (8, K) f32 feature block (rgb, depth,
+    zero-padded) for the accumulation contraction."""
+    geom = jax.lax.bitcast_convert_type(inst[0:5, :], jnp.float32)
+    xy_x = geom[0:1, :]
+    xy_y = geom[1:2, :]
+    ca = geom[2:3, :]
+    cb = geom[3:4, :]
+    cc = geom[4:5, :]
+    opa = _unpack_hi(inst[5:6, :])
+    dx = xy_x - px
+    dy = xy_y - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(opa * jnp.exp(power), gm.ALPHA_CLAMP)
+    feat8 = jnp.concatenate([
+        _unpack_lo(inst[5:6, :]),          # r
+        _unpack_hi(inst[6:7, :]),          # g
+        _unpack_lo(inst[6:7, :]),          # b
+        _unpack_hi(inst[7:8, :]),          # depth
+        jnp.zeros((4, inst.shape[1]), jnp.float32),
+    ], axis=0)
+    return power, alpha, feat8
+
+
 def _mm(a, b):
     """f32-exact matmul: the triangular cumsums run in log space where
     single-pass bf16 (the TPU default) would cost ~1e-3 relative error in
@@ -175,10 +228,13 @@ def _mm_exact_rhs(a, b, terms: int = 3):
     f32 accumulation order); terms=2 keeps 16 mantissa bits (relative
     error ~2^-17 per element of the sum)."""
     a0 = a.astype(jnp.bfloat16)
-    r1 = a - a0.astype(jnp.float32)
-    a1 = r1.astype(jnp.bfloat16)
     bb = b.astype(jnp.bfloat16)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if terms == 1:
+        # Single bf16 pass (~2^-9): inference-only precision.
+        return dot(a0, bb)
+    r1 = a - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
     if terms == 2:
         return dot(a0, bb) + dot(a1, bb)
     a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -369,12 +425,16 @@ def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
                 dma((s + 1) % 2, s + 1).start()
 
             dma(s % 2, s).wait()
-            inst = scratch[s % 2]                      # (16, kw)
+            inst = scratch[s % 2]                      # (inst_rows, kw)
             t_tr = state_ref[:, 0:1]
             done = state_ref[:, 1:2] > 0.0
             ncon = state_ref[:, 2:3]
 
-            power, _, _, alpha, _, _, _ = _alpha_terms(inst, px, py)
+            if cfg.infer:
+                power, alpha, feat8 = _alpha_terms_infer(inst, px, py)
+            else:
+                power, _, _, alpha, _, _, _ = _alpha_terms(inst, px, py)
+                feat8 = inst[6:14, :]
             local = (s * kw
                      + jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1))
             in_range = local < count                   # (1, kw)
@@ -404,7 +464,7 @@ def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
             # contrib[f, p] = sum_k feat[f, k] * w[p, k]: one MXU
             # contraction over the lane axis (rows 6..13 incl. padding),
             # accumulated channel-major.
-            acc_ref[:] = acc_ref[:] + _dgc(inst[6:14, :], w, 1, 1)
+            acc_ref[:] = acc_ref[:] + _dgc(feat8, w, 1, 1)
 
             # Full-step log-product == inclusive product's last column.
             t_out = t_tr * jnp.exp(jnp.sum(lcu, axis=1, keepdims=True))
@@ -472,7 +532,8 @@ def blend_forward_pallas(cfg: PallasBlendConfig, inst_data: jax.Array,
         out_specs=pl.BlockSpec((tpb, OUT_COLS, PIX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW, cfg.unroll * CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.inst_rows, cfg.unroll * CHUNK),
+                       cfg.inst_dtype),
             pltpu.VMEM((8, PIX), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -895,6 +956,28 @@ def _build_inst_data(xy, conic, opacity, feat, abins):
     return rows.T                                        # (16, Rp + K)
 
 
+def _build_inst_data_infer(xy, conic, opacity, feat_rgbd, abins):
+    """Packed-row inference variant of `_build_inst_data`: (8, Rp + K)
+    u32 — xy/conic bitcast to raw f32 bits (exact), opacity + rgb +
+    depth rounded to bf16 pairs. Half the gather and kernel-DMA bytes
+    of the f32 layout; the all-zero sentinel row decodes to opacity 0
+    (neutral)."""
+    p = xy.shape[0]
+    bits = jax.lax.bitcast_convert_type(
+        jnp.concatenate([xy, conic], axis=1), jnp.uint32)   # (P, 5)
+    src = jnp.concatenate([
+        bits,
+        _pack2(opacity, feat_rgbd[:, 0])[:, None],
+        _pack2(feat_rgbd[:, 1], feat_rgbd[:, 2])[:, None],
+        _pack2(feat_rgbd[:, 3], jnp.zeros((p,), jnp.float32))[:, None],
+    ], axis=1)                                              # (P, 8)
+    src = jnp.concatenate([src, jnp.zeros((1, 8), jnp.uint32)], axis=0)
+    ids = jnp.concatenate([
+        jnp.minimum(abins.gauss_id, p),
+        jnp.full((CHUNK,), p, jnp.int32)])
+    return src[ids].T                                       # (8, Rp + K)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def blend_pallas(cfg: PallasBlendConfig, xy, conic, opacity, feat, bg, abins):
     """Pallas-kernel blend with the same outputs as `blend.blend`:
@@ -990,3 +1073,23 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
 
 
 blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)
+
+
+def blend_pallas_infer(cfg: PallasBlendConfig, xy, conic, opacity,
+                       feat_rgbd, bg, abins):
+    """Forward-only inference blend on the packed (8, Rp) u32 instance
+    layout (cfg.infer must be True): returns (color (H,W,3),
+    depth (H,W), alpha (H,W)). Not differentiable — the training path
+    is `blend_pallas`. feat_rgbd: (P, 4) rgb + depth."""
+    from .blend import BlendConfig, _tiles_to_image
+
+    inst = _build_inst_data_infer(xy, conic, opacity, feat_rgbd, abins)
+    accum, t_final, _, _ = blend_forward_pallas(
+        cfg, inst, abins.tile_start, abins.tile_count)
+    bc = BlendConfig(height=cfg.height, width=cfg.width,
+                     tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y)
+    color = _ctiles_to_image(
+        accum[:, 0:3, :] + t_final[:, None, :] * bg[None, :, None], bc)
+    depth = _tiles_to_image(accum[:, 3, :], bc)
+    alpha = _tiles_to_image(1.0 - t_final, bc)
+    return color, depth, alpha

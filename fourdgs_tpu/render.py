@@ -61,12 +61,18 @@ def render(
     cov3d_precomp: jax.Array | None = None,
     backend: str = "xla",
     fast_grad_reduce: bool = False,
+    infer: bool = False,
 ) -> RenderOutputs:
     """Render one camera. All inputs post-activation; see `preprocess`.
 
     backend: "xla" (masked-matmul blend, any platform) or "pallas"
     (TPU tile kernels with per-tile dynamic trip counts) or
     "pallas_interpret" (Pallas interpreter, for CPU tests).
+
+    infer=True (pallas backends only) takes the forward-only fast path:
+    packed bf16-pair instance rows (exact f32 xy/conic; ~0.4% rounding
+    on opacity/rgb/depth) and a single-pass bf16 transmittance cumsum.
+    Not differentiable; the flow output is zeros.
     """
     proc = pre.preprocess(
         means3d=means3d, t=t, scales=scales, scales_t=scales_t,
@@ -77,6 +83,25 @@ def render(
 
     feat = jnp.concatenate(
         [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
+    if infer and backend in ("pallas", "pallas_interpret"):
+        abins = binning.bin_gaussians_aligned(
+            jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK)
+        pcfg = pallas_blend.PallasBlendConfig(
+            height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
+            tiles_y=opts.tiles_y,
+            interpret=(backend == "pallas_interpret"),
+            infer=True, fwd_terms=1)
+        color, depth_img, alpha_img = pallas_blend.blend_pallas_infer(
+            pcfg, proc.xy, proc.conic, proc.opacity,
+            jnp.concatenate([proc.rgb, proc.depth[:, None]], axis=-1),
+            bg, abins)
+        return RenderOutputs(
+            color=color, depth=depth_img, alpha=alpha_img,
+            flow=jnp.zeros((opts.height, opts.width, 2), jnp.float32),
+            radii=proc.radius, visible=proc.visible,
+            num_rendered=abins.num_rendered,
+            max_per_tile=abins.max_per_tile,
+            instances_dropped=abins.dropped, cov3d_com=proc.cov3d)
     if backend in ("pallas", "pallas_interpret"):
         abins = binning.bin_gaussians_aligned(
             jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK)

@@ -70,6 +70,14 @@ def toy():
     print("[toy] fwd max diff alpha:", float(jnp.abs(out_p.alpha - out_x.alpha).max()))
     fail |= cdiff > 1e-3
 
+    # Inference fast path (packed bf16-pair rows + 1-pass cumsum):
+    # bf16 rounding of opacity/rgb bounds the color error ~1%.
+    out_i = render(**scene, camera=cam, bg=bg, opts=opts, backend="pallas",
+                   infer=True, **kw)
+    idiff = float(jnp.abs(out_i.color - out_p.color).max())
+    print("[toy] infer max diff color:", idiff)
+    fail |= idiff > 1.5e-2
+
     diff = {k: scene[k] for k in DIFF_KEYS}
     aux = {"active": scene["active"]}
     tgt = jnp.asarray(rng.random((48, 40, 3)), jnp.float32)
@@ -111,6 +119,16 @@ def full():
         d = float(jnp.abs(getattr(out_p, name) - getattr(out_x, name)).max())
         print(f"[full] fwd max diff {name}: {d:.2e}")
         fail |= d > (2e-2 if name == "depth" else 2e-3)
+
+    fwd_i = jax.jit(lambda s: render(
+        **s, camera=cam, bg=bg, opts=opts, backend="pallas", infer=True,
+        **kw))
+    t0 = time.perf_counter()
+    out_i = jax.block_until_ready(fwd_i(scene))
+    print(f"[full] infer fwd {time.perf_counter()-t0:.1f}s (incl. compile)")
+    d = float(jnp.abs(out_i.color - out_p.color).max())
+    print(f"[full] infer max diff color: {d:.2e}")
+    fail |= d > 2e-2
 
     def loss(d, backend, fast):
         out = render(**d, **aux, camera=cam, bg=bg, opts=opts,

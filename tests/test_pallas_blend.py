@@ -265,3 +265,27 @@ def test_unroll2_matches_unroll1(rng):
     a, b = np.asarray(eg2), np.asarray(eg1)
     scale = np.maximum(np.abs(b).max(axis=1, keepdims=True), 1e-3)
     np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)
+
+
+def test_infer_path_matches_exact(rng):
+    """The packed-row inference fast path must match the exact forward
+    within bf16 rounding of opacity/rgb/depth (~0.5%); flow is zeros."""
+    scene = _as_jnp(random_scene(rng, p=56))
+    cam = look_at_camera(width=OPTS.width, height=OPTS.height).arrays()
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    out_e = render(**scene, camera=cam, bg=bg, opts=OPTS,
+                   backend="pallas_interpret", **KW)
+    out_i = render(**scene, camera=cam, bg=bg, opts=OPTS,
+                   backend="pallas_interpret", infer=True, **KW)
+
+    np.testing.assert_allclose(np.asarray(out_i.color),
+                               np.asarray(out_e.color), atol=1.5e-2)
+    np.testing.assert_allclose(np.asarray(out_i.alpha),
+                               np.asarray(out_e.alpha), atol=1.5e-2)
+    # Depth is bf16 in the packed rows: relative tolerance vs magnitude.
+    d_e = np.asarray(out_e.depth)
+    np.testing.assert_allclose(np.asarray(out_i.depth), d_e,
+                               atol=1.5e-2 * max(1.0, np.abs(d_e).max()))
+    assert np.all(np.asarray(out_i.flow) == 0.0)
+    assert int(out_i.num_rendered) == int(out_e.num_rendered)
