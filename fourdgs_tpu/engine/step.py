@@ -110,6 +110,7 @@ def build_step_fn(
     backend: str = "xla",
     fast_grad_reduce: bool = True,
     strips: int = 1,
+    dummy_cap: int | None = None,
 ):
     """Build the (unjitted) train step for fixed static shapes. Use
     `make_train_step` for single-device jit or
@@ -142,7 +143,8 @@ def build_step_fn(
                 sh=act.sh, active=act.active, camera=cam, bg=bg,
                 opts=r_opts, capacity=capacity, max_per_tile=max_per_tile,
                 chunk=chunk, sh_mask=sh_mask, mean2d_tap=tap_b,
-                backend=backend, fast_grad_reduce=fast_grad_reduce)
+                backend=backend, fast_grad_reduce=fast_grad_reduce,
+                dummy_cap=dummy_cap)
             color = out.color
             if has_env:
                 # Sky compositing is pixel-local (rays from the shifted
@@ -295,7 +297,8 @@ def build_step_fn(
 
 def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
                     max_per_tile: int, chunk: int = 32, batch_size: int = 1,
-                    backend: str = "xla", strips: int = 1):
+                    backend: str = "xla", strips: int = 1,
+                    dummy_cap: int | None = None):
     """Single-device jitted train step.
 
     NOTE: no buffer donation — several state leaves can legitimately alias
@@ -303,4 +306,5 @@ def make_train_step(opts: RenderOptions, cfg: StepConfig, *, capacity: int,
     checker rejects ("donate the same buffer twice")."""
     return jax.jit(build_step_fn(
         opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
-        chunk=chunk, batch_size=batch_size, backend=backend, strips=strips))
+        chunk=chunk, batch_size=batch_size, backend=backend, strips=strips,
+        dummy_cap=dummy_cap))

@@ -159,6 +159,10 @@ class Trainer:
         self.inst_capacity = _round_up(
             4 * len(pcd.points) * cfg.instance_slack, 65536)
         self.tile_capacity = 2048
+        # Aligned-layout dummy budget: None = binning's statistical auto
+        # (mean + 8.6 sigma); grown to the exact worst case if a step
+        # ever overflows it (see the dropped-counter watch in train()).
+        self.dummy_cap = None
         self.chunk = 32
         self.backend = "pallas" if jax.default_backend() != "cpu" else "xla"
         self._step_fn = None
@@ -339,7 +343,8 @@ class Trainer:
                   chunk=self.chunk,
                   batch_size=self.cfg.batch_size,
                   backend=self.backend,
-                  strips=strips)
+                  strips=strips,
+                  dummy_cap=self.dummy_cap)
         n_dev = min(self.cfg.data_axis or len(jax.devices()),
                     len(jax.devices()))
         if n_dev > 1 and (self.cfg.batch_size * strips) % n_dev == 0:
@@ -428,7 +433,7 @@ class Trainer:
                     rotations_r=act.rotations_r, opacity=opacity,
                     sh=act.sh, active=active, camera=cam, bg=self.bg,
                     opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
-                    backend=self.backend, **extra)
+                    backend=self.backend, dummy_cap=self.dummy_cap, **extra)
                 color = out.color
                 if has_env:
                     color = envmap_lib.composite_sky(
@@ -599,6 +604,17 @@ class Trainer:
                                  f"per-tile {mpt}/{self.tile_capacity}) — "
                                  "growing budgets")
                         self._maybe_grow(nr, mpt)
+                    elif drop > 0 and self.dummy_cap is None:
+                        # Drop not explained by instance/tile overflow =
+                        # the aligned dummy budget overflowed (binning
+                        # zeroed that step's gradients) — grow it to the
+                        # exact worst case once and for all.
+                        from ..ops.pallas_blend import CHUNK as _K
+                        self.dummy_cap = self.opts.num_tiles * _K
+                        self.log(f"it {pit}: aligned dummy budget -> "
+                                 f"worst case ({self.dummy_cap})")
+                        self._step_fn = None
+                        self._eval_fn = None
 
                 # Host<->device sync discipline: materializing any metric
                 # blocks on the whole step and serializes host batch prep

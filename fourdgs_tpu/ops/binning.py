@@ -71,7 +71,8 @@ class AlignedBins(NamedTuple):
 
 def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
                           capacity: int, k: int,
-                          force_lex: bool = False) -> AlignedBins:
+                          force_lex: bool = False,
+                          dummy_cap: int | None = None) -> AlignedBins:
     """One-sort construction of the K-aligned instance layout for the
     Pallas kernels.
 
@@ -81,6 +82,19 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
     sized from an instance histogram so each tile's sorted segment is
     already a multiple of K. Tile offsets come from the histogram, not a
     searchsorted.
+
+    `dummy_cap` bounds the dummy block: the worst case is K-1 pads per
+    tile, but the expected need is ~K/2 per LIVE tile, so a static
+    budget of ~0.6K per tile keeps >10 sigma of headroom while cutting
+    every capacity-scaled stage (main sort, instance gather, gradient
+    buffer, reduce sort) by the difference. None = auto
+    (min(num_tiles*k, ~0.625k per tile)); pass num_tiles*k for the
+    exact worst case. If the budget ever overflows, the layout of that
+    step is unusable: the result carries `dropped = num_rendered` and
+    `total_len = rp + 1` as sentinels — the gradient reduce zeroes its
+    output (see aligned_entry_grads_to_gaussian_grads) and the trainer
+    grows the budget; tile ranges stay clamped in-bounds so the kernels
+    are memory-safe either way.
 
     Two equivalent sort strategies (measured at 800x800 / 786k capacity):
 
@@ -100,9 +114,61 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
     span = 1 << max(1, int(p + 1).bit_length())
     packed_fits = ((opts.num_tiles + 1) * span < 2 ** 32
                    and capacity < 2 ** 24)
+    ndum = _dummy_budget(opts.num_tiles, k, dummy_cap)
     if packed_fits and not force_lex:
-        return _bin_aligned_rank(proc, opts, capacity, k, span)
-    return _bin_aligned_lex(proc, opts, capacity, k)
+        return _bin_aligned_rank(proc, opts, capacity, k, span, ndum)
+    return _bin_aligned_lex(proc, opts, capacity, k, ndum)
+
+
+def _dummy_budget(num_tiles: int, k: int, dummy_cap: int | None) -> int:
+    """Static dummy-block length. The worst case is k-1 pads per tile;
+    per-tile pads are ~uniform on [0, k), so the total is ~T*k/2 with
+    sigma ~0.29*k*sqrt(T). auto = mean + 2.5*k*sqrt(T) (~8.6 sigma —
+    collapses to the exact worst case for small tile grids, cuts ~45%
+    of the worst-case block at 2500 tiles). Rounded up to a multiple of
+    k so the aligned buffer length stays K-aligned."""
+    if dummy_cap is None:
+        dummy_cap = int(num_tiles * k / 2 + 2.5 * k * num_tiles ** 0.5)
+    return min(num_tiles * k, max(k, (dummy_cap + k - 1) // k * k))
+
+
+def _dummy_owner(pad: jax.Array, ndum: int, num_tiles: int):
+    """Tile ownership of the compact dummy block: slot j belongs to the
+    tile whose pad run covers j (marks at each tile's exclusive start +
+    cumsum — zero-pad tiles mark the same slot as their successor, which
+    the cumsum counts through, same trick as the instance owner map).
+    Returns (owner (ndum,), live (ndum,), total_pad ())."""
+    pad_off = jnp.cumsum(pad, dtype=jnp.int32) - pad
+    total_pad = pad_off[-1] + pad[-1]
+    marks = jnp.zeros((ndum,), jnp.int32).at[pad_off].add(
+        1, mode="drop")
+    owner = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles - 1)
+    live = jnp.arange(ndum, dtype=jnp.int32) < total_pad
+    return owner, live, total_pad
+
+
+def _aligned_epilogue(gid_s, aligned_off, counts, total_len, total_pad,
+                      seg_offsets, num_rendered, num_eff,
+                      ndum: int) -> AlignedBins:
+    """Shared tail of both aligned binners: clamp tile ranges into the
+    static buffer [0, rp) (memory safety whatever the data does) and set
+    the dummy-budget overflow sentinels. In steady state (total_pad
+    within budget) every clamp is a no-op: total_len = num_eff +
+    total_pad <= capacity + ndum = rp."""
+    rp = gid_s.shape[0]
+    ok = total_pad <= ndum
+    start_c = jnp.minimum(aligned_off, rp)
+    count_c = jnp.clip(counts, 0, rp - start_c)
+    return AlignedBins(
+        gauss_id=gid_s,
+        tile_start=start_c,
+        tile_count=count_c,
+        total_len=jnp.where(ok, jnp.minimum(total_len, rp), rp + 1),
+        seg_offsets=seg_offsets,
+        num_rendered=num_rendered,
+        max_per_tile=jnp.max(counts),
+        dropped=jnp.where(ok, num_rendered - num_eff, num_rendered),
+    )
 
 
 def _instance_prologue(proc, capacity):
@@ -152,7 +218,8 @@ def _rect_histogram(proc, opts, last_full):
 
 
 def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
-                      capacity: int, k: int, span: int) -> AlignedBins:
+                      capacity: int, k: int, span: int,
+                      ndum: int) -> AlignedBins:
     """Packed-rank-key aligned binning (see bin_gaussians_aligned)."""
     p = proc.tiles_touched.shape[0]
     num_tiles = opts.num_tiles
@@ -225,19 +292,17 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
     aligned_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), sums[:-1]])
     total_len = sums[-1]
 
-    # Dummy block: K candidates per tile, the first pad[t] live; rank
-    # span-1 exceeds every live rank (span >= p+2), so dummies sort to
-    # the end of their tile's segment.
-    dummy_t = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 0)
-    dummy_i = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 1)
+    # Compact dummy block (see _dummy_owner): the first pad[t] slots of
+    # tile t's run carry key rank span-1 (> every live rank, span >=
+    # p+2), so dummies sort to the end of their tile's segment.
+    owner, live_d, total_pad = _dummy_owner(pad, ndum, num_tiles)
     dummy_key = jnp.where(
-        dummy_i < pad[:, None],
-        dummy_t.astype(jnp.uint32) * jnp.uint32(span)
+        live_d,
+        owner.astype(jnp.uint32) * jnp.uint32(span)
         + jnp.uint32(span - 1),
-        invalid_key).reshape(-1)
-    n_dummy = num_tiles * k
+        invalid_key)
     all_key = jnp.concatenate([key, dummy_key])
-    all_gid = jnp.concatenate([gid, jnp.full((n_dummy,), p, jnp.int32)])
+    all_gid = jnp.concatenate([gid, jnp.full((ndum,), p, jnp.int32)])
 
     # TWO-operand main sort: the only payload is gauss_id (needed by the
     # instance build anyway); the gradient reduce keys on it directly,
@@ -252,26 +317,19 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
     # empty segments.
     tt_eff = jnp.where(iota_p <= last_full, proc.tiles_touched, 0)
 
-    return AlignedBins(
-        gauss_id=gid_s,
-        tile_start=aligned_off,
-        tile_count=counts,
-        total_len=total_len,
-        seg_offsets=jnp.cumsum(tt_eff, dtype=jnp.int32),
-        num_rendered=num_rendered,
-        max_per_tile=jnp.max(counts),
-        dropped=num_rendered - num_eff,
-    )
+    return _aligned_epilogue(
+        gid_s, aligned_off, counts, total_len, total_pad,
+        jnp.cumsum(tt_eff, dtype=jnp.int32), num_rendered, num_eff,
+        ndum)
 
 
 def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
-                     capacity: int, k: int) -> AlignedBins:
+                     capacity: int, k: int, ndum: int) -> AlignedBins:
     """Lexicographic-key aligned binning (see bin_gaussians_aligned)."""
     p = proc.tiles_touched.shape[0]
     num_tiles = opts.num_tiles
     tiles_x = opts.tiles_x
     tiles_y = opts.tiles_y
-    rp = aligned_capacity(capacity, num_tiles, k)
 
     offsets, num_rendered, last_full, num_eff = _instance_prologue(
         proc, capacity)
@@ -320,18 +378,15 @@ def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
         [jnp.zeros((1,), jnp.int32), sums[:-1]])
     total_len = sums[-1]        # live aligned region (tiles' ranges end)
 
-    # Dummy block: K candidate dummies per tile, the first pad[t] live.
-    dummy_t = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 0)
-    dummy_i = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k), 1)
-    dummy_tile = jnp.where(dummy_i < pad[:, None], dummy_t,
-                           num_tiles).reshape(-1)
-    n_dummy = num_tiles * k
+    # Compact dummy block (see _dummy_owner).
+    owner, live_d, total_pad = _dummy_owner(pad, ndum, num_tiles)
+    dummy_tile = jnp.where(live_d, owner, num_tiles)
     all_tile = jnp.concatenate([tile, dummy_tile])
     all_depth = jnp.concatenate(
-        [depth, jnp.full((n_dummy,), jnp.inf, jnp.float32)])
-    all_gid = jnp.concatenate([gid, jnp.full((n_dummy,), p, jnp.int32)])
+        [depth, jnp.full((ndum,), jnp.inf, jnp.float32)])
+    all_gid = jnp.concatenate([gid, jnp.full((ndum,), p, jnp.int32)])
     all_slot = jnp.concatenate(
-        [slots, capacity + jnp.arange(n_dummy, dtype=jnp.int32)])
+        [slots, capacity + jnp.arange(ndum, dtype=jnp.int32)])
 
     # slot (the pre-sort expansion index, unique) as an explicit third
     # key reproduces the stable (tile, depth) order exactly — XLA's
@@ -343,16 +398,10 @@ def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
 
     tt_eff = jnp.where(jnp.arange(p) <= last_full, proc.tiles_touched, 0)
 
-    return AlignedBins(
-        gauss_id=gid_s,
-        tile_start=aligned_off,
-        tile_count=counts,
-        total_len=total_len,
-        seg_offsets=jnp.cumsum(tt_eff, dtype=jnp.int32),
-        num_rendered=num_rendered,
-        max_per_tile=jnp.max(counts),
-        dropped=num_rendered - num_eff,
-    )
+    return _aligned_epilogue(
+        gid_s, aligned_off, counts, total_len, total_pad,
+        jnp.cumsum(tt_eff, dtype=jnp.int32), num_rendered, num_eff,
+        ndum)
 
 
 def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
@@ -435,7 +484,9 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
 
 
 def aligned_capacity(capacity: int, num_tiles: int, k: int) -> int:
-    """Static padded-instance capacity for chunk-aligned layout."""
+    """WORST-CASE padded-instance capacity for the chunk-aligned layout
+    (dummy_cap = num_tiles * k); the default compact budget is smaller —
+    see _dummy_budget."""
     return capacity + num_tiles * k
 
 
@@ -545,7 +596,13 @@ def aligned_entry_grads_to_gaussian_grads(
                                       abins.seg_offsets[:-1]]), capacity) - 1
     csum_z = jnp.concatenate(
         [jnp.zeros((c, 1), jnp.float32), csum], axis=1)
-    return (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T
+    per_seg = (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T   # (P, C)
+    # Dummy-budget overflow sentinel (total_len > Rp): the aligned
+    # layout of this step is unusable and the segment boundaries no
+    # longer describe the sorted rows — zero the whole gradient (the
+    # trainer sees dropped == num_rendered and grows the budget; one
+    # no-op update beats one scrambled update).
+    return jnp.where(abins.total_len > rp, 0.0, per_seg)
 
 
 def entry_grads_to_gaussian_grads(

@@ -92,6 +92,11 @@ class PallasBlendConfig(NamedTuple):
     # payloads directly (the XLA-side pack pass disappears). Only
     # meaningful with fast_grad_reduce (the exact path needs f32 rows).
     packed_grads: bool = False
+    # Pre-alignment instance capacity R (the grad reduce's live-row
+    # slice bound). None = derive as Rp - num_tiles*CHUNK, which is only
+    # correct for the worst-case dummy budget; callers using the compact
+    # budget (see binning._dummy_budget) must set it.
+    inst_capacity: int | None = None
     # Inference-only fast path (forward kernel, no VJP): instance rows
     # come PACKED as (8, Rp) u32 — xy/conic stay exact f32 bits, while
     # opacity + rgb + depth ride as bf16 pairs (~0.4% rounding on
@@ -1056,7 +1061,8 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     # parity), so its cotangent is discarded by AD. Rows stay field-major
     # straight into the sort-based reduce — no transpose. Packed mode
     # hands over 5 u32 rows (= channels 0..9 as bf16 pairs).
-    capacity = abins.gauss_id.shape[0] - cfg.num_tiles * CHUNK
+    capacity = (cfg.inst_capacity if cfg.inst_capacity is not None
+                else abins.gauss_id.shape[0] - cfg.num_tiles * CHUNK)
     n_rows = 5 if cfg.packed_grads else 10
     per_gauss = aligned_entry_grads_to_gaussian_grads(
         entry_grads[:n_rows], abins, capacity=capacity,

@@ -61,6 +61,7 @@ def make_sharded_train_step(
     batch_size: int = 1,
     backend: str = "xla",
     strips: int = 1,
+    dummy_cap: int | None = None,
 ):
     """Jit the train step over `mesh` with the camera(-strip) batch sharded
     on the data axis and all cloud state replicated. Requires
@@ -79,7 +80,8 @@ def make_sharded_train_step(
 
     step_fn = build_step_fn(
         opts, cfg, capacity=capacity, max_per_tile=max_per_tile,
-        chunk=chunk, batch_size=batch_size, backend=backend, strips=strips)
+        chunk=chunk, batch_size=batch_size, backend=backend, strips=strips,
+        dummy_cap=dummy_cap)
 
     rep = replicate(mesh)
     bat = shard_batch(mesh)

@@ -62,6 +62,7 @@ def render(
     backend: str = "xla",
     fast_grad_reduce: bool = False,
     infer: bool = False,
+    dummy_cap: int | None = None,
 ) -> RenderOutputs:
     """Render one camera. All inputs post-activation; see `preprocess`.
 
@@ -85,12 +86,13 @@ def render(
         [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
     if infer and backend in ("pallas", "pallas_interpret"):
         abins = binning.bin_gaussians_aligned(
-            jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK)
+            jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK,
+            dummy_cap=dummy_cap)
         pcfg = pallas_blend.PallasBlendConfig(
             height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
             tiles_y=opts.tiles_y,
             interpret=(backend == "pallas_interpret"),
-            infer=True, fwd_terms=1)
+            inst_capacity=capacity, infer=True, fwd_terms=1)
         color, depth_img, alpha_img = pallas_blend.blend_pallas_infer(
             pcfg, proc.xy, proc.conic, proc.opacity,
             jnp.concatenate([proc.rgb, proc.depth[:, None]], axis=-1),
@@ -104,11 +106,13 @@ def render(
             instances_dropped=abins.dropped, cov3d_com=proc.cov3d)
     if backend in ("pallas", "pallas_interpret"):
         abins = binning.bin_gaussians_aligned(
-            jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK)
+            jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK,
+            dummy_cap=dummy_cap)
         pcfg = pallas_blend.PallasBlendConfig(
             height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
             tiles_y=opts.tiles_y,
             interpret=(backend == "pallas_interpret"),
+            inst_capacity=capacity,
             fast_grad_reduce=fast_grad_reduce,
             # Production mode also drops the backward data matmuls from
             # HIGHEST (6 MXU passes) to a (2,2)-term bf16 split (3

@@ -160,7 +160,7 @@ def main():
                     pcfg, inst0, abins0.tile_start, abins0.tile_count,
                     raw, dcot))
 
-            cap = abins0.gauss_id.shape[0] - OPTS.num_tiles * pallas_blend.CHUNK
+            cap = CAPACITY
 
             @jax.jit
             def run_reduce(eps, eg, abins):

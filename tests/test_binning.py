@@ -142,3 +142,51 @@ def test_aligned_whole_gaussian_truncation(rng):
     for t in range(OPTS.num_tiles):
         got = [int(gid[i]) for i in range(start[t], start[t] + count[t])]
         assert got == [g for g, _ in want[t]], f"tile {t}"
+
+
+def test_dummy_budget_overflow_sentinels(rng):
+    """A deliberately tiny dummy budget must flag the step (dropped ==
+    num_rendered, total_len == Rp + 1), keep tile ranges in-bounds, and
+    zero the gradient reduce — never crash or mis-attribute."""
+    k = 8
+    p = 120
+    capacity = 512
+    proc = _proc(rng, p)
+    ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
+                                       dummy_cap=k)     # 8 << needed
+    rp = ab.gauss_id.shape[0]
+    assert rp == capacity + k
+    assert int(ab.dropped) == int(ab.num_rendered)
+    assert int(ab.total_len) == rp + 1
+    start = np.asarray(ab.tile_start)
+    count = np.asarray(ab.tile_count)
+    assert np.all(start >= 0) and np.all(start <= rp)
+    assert np.all(count >= 0) and np.all(start + count <= rp)
+    grads = jnp.asarray(rng.normal(size=(10, rp)).astype(np.float32))
+    out = binning.aligned_entry_grads_to_gaussian_grads(
+        grads, ab, capacity=capacity)
+    assert np.all(np.asarray(out) == 0.0)
+
+
+def test_dummy_budget_exact_matches_full(rng):
+    """With a budget >= the true pad total, the compact dummy block
+    reproduces the worst-case layout's per-tile lists exactly."""
+    k = 8
+    p = 60
+    capacity = 512
+    proc = _proc(rng, p)
+    full = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
+                                         dummy_cap=OPTS.num_tiles * k)
+    counts = np.asarray(full.tile_count)
+    need = int(np.sum((-counts) % k))
+    tight = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
+                                          dummy_cap=max(k, need))
+    assert int(tight.dropped) == 0
+    gid_f, gid_t = np.asarray(full.gauss_id), np.asarray(tight.gauss_id)
+    start, cnt = np.asarray(full.tile_start), counts
+    for t in range(OPTS.num_tiles):
+        np.testing.assert_array_equal(
+            gid_f[start[t]:start[t] + cnt[t]],
+            gid_t[np.asarray(tight.tile_start)[t]:
+                  np.asarray(tight.tile_start)[t]
+                  + np.asarray(tight.tile_count)[t]], f"tile {t}")
