@@ -163,6 +163,10 @@ class Trainer:
         # (mean + 8.6 sigma); grown to the exact worst case if a step
         # ever overflows it (see the dropped-counter watch in train()).
         self.dummy_cap = None
+        # Eval/viewer renders take the packed-row inference fast path
+        # when set (render_cli --fast): ~0.4% bf16 rounding on
+        # opacity/rgb/depth, no flow output. Never used for training.
+        self.eval_infer = False
         self.chunk = 32
         self.backend = "pallas" if jax.default_backend() != "cpu" else "xla"
         self._step_fn = None
@@ -433,7 +437,10 @@ class Trainer:
                     rotations_r=act.rotations_r, opacity=opacity,
                     sh=act.sh, active=active, camera=cam, bg=self.bg,
                     opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
-                    backend=self.backend, dummy_cap=self.dummy_cap, **extra)
+                    backend=self.backend, dummy_cap=self.dummy_cap,
+                    infer=(self.eval_infer
+                           and self.backend.startswith("pallas")
+                           and not extra), **extra)
                 color = out.color
                 if has_env:
                     color = envmap_lib.composite_sky(
@@ -468,6 +475,45 @@ class Trainer:
             if not self._maybe_grow(int(num_rendered), int(max_per_tile)):
                 return color, depth, alpha
         raise RuntimeError("render budgets failed to converge after 8 probes")
+
+    def _drain_inflight(self, force: bool = False):
+        """Per-step overflow watch: pop queued (it, counters) entries as
+        they become ready (non-blocking keeps the async dispatch pipeline
+        intact; force=True at sync boundaries materializes everything —
+        completion order guarantees readiness there) and respond: log +
+        count truncated steps, grow instance/tile budgets, and grow the
+        aligned dummy budget to the worst case on the first drop the
+        other budgets don't explain (binning zeroed that step's
+        gradients — see ops/binning.py's overflow sentinels)."""
+        while self._inflight and (force or self._inflight[0][1].is_ready()):
+            pit, nr_arr, mpt_arr, drop_arr = self._inflight.popleft()
+            nr, mpt, drop = int(nr_arr), int(mpt_arr), int(drop_arr)
+            if drop > 0:
+                # The reference never truncates (resize callback,
+                # rasterize_points.cu:28-34); count and surface every
+                # iteration that trained on a truncated instance list.
+                self.truncated_steps += 1
+                self.instances_dropped_total += drop
+                self.log(f"WARNING: it {pit} trained with {drop} "
+                         f"instances dropped (truncated step "
+                         f"#{self.truncated_steps}; nr={nr}/"
+                         f"{self.inst_capacity} mpt={mpt}/"
+                         f"{self.tile_capacity} "
+                         f"dummy={self.dummy_cap})")
+                self.metrics_log.log(pit, instances_dropped=drop)
+            if nr > self.inst_capacity or mpt > self.tile_capacity:
+                self.log(f"overflow at it {pit} "
+                         f"(instances {nr}/{self.inst_capacity}, "
+                         f"per-tile {mpt}/{self.tile_capacity}) — "
+                         "growing budgets")
+                self._maybe_grow(nr, mpt)
+            elif drop > 0 and self.dummy_cap is None:
+                from ..ops.pallas_blend import CHUNK as _K
+                self.dummy_cap = self.opts.num_tiles * _K
+                self.log(f"it {pit}: aligned dummy budget -> "
+                         f"worst case ({self.dummy_cap})")
+                self._step_fn = None
+                self._eval_fn = None
 
     def _maybe_grow(self, num_rendered: int, max_per_tile: int) -> bool:
         grew = False
@@ -584,37 +630,7 @@ class Trainer:
                 self._inflight.append(
                     (it, metrics.num_rendered, metrics.max_per_tile,
                      metrics.instances_dropped))
-                while self._inflight and self._inflight[0][1].is_ready():
-                    pit, nr_arr, mpt_arr, drop_arr = self._inflight.popleft()
-                    nr, mpt, drop = int(nr_arr), int(mpt_arr), int(drop_arr)
-                    if drop > 0:
-                        # The reference never truncates (resize callback,
-                        # rasterize_points.cu:28-34); count and surface
-                        # every iteration that trained on a truncated
-                        # instance list.
-                        self.truncated_steps += 1
-                        self.instances_dropped_total += drop
-                        self.log(f"WARNING: it {pit} trained with {drop} "
-                                 f"instances dropped (truncated step "
-                                 f"#{self.truncated_steps})")
-                        self.metrics_log.log(pit, instances_dropped=drop)
-                    if nr > self.inst_capacity or mpt > self.tile_capacity:
-                        self.log(f"overflow at it {pit} "
-                                 f"(instances {nr}/{self.inst_capacity}, "
-                                 f"per-tile {mpt}/{self.tile_capacity}) — "
-                                 "growing budgets")
-                        self._maybe_grow(nr, mpt)
-                    elif drop > 0 and self.dummy_cap is None:
-                        # Drop not explained by instance/tile overflow =
-                        # the aligned dummy budget overflowed (binning
-                        # zeroed that step's gradients) — grow it to the
-                        # exact worst case once and for all.
-                        from ..ops.pallas_blend import CHUNK as _K
-                        self.dummy_cap = self.opts.num_tiles * _K
-                        self.log(f"it {pit}: aligned dummy budget -> "
-                                 f"worst case ({self.dummy_cap})")
-                        self._step_fn = None
-                        self._eval_fn = None
+                self._drain_inflight()
 
                 # Host<->device sync discipline: materializing any metric
                 # blocks on the whole step and serializes host batch prep
@@ -647,6 +663,15 @@ class Trainer:
                                      int(metrics.max_per_tile))
 
                     loss = float(metrics.loss)
+                    # Steps complete in order on one device, so after
+                    # materializing this step's loss every queued
+                    # counter is ready — force-drain so the overflow
+                    # responses above can never lag more than one sync
+                    # interval (is_ready() polling alone has been seen
+                    # starving for hundreds of steps on the axon
+                    # plugin, letting a budget overflow zero gradients
+                    # for that whole stretch).
+                    self._drain_inflight(force=True)
                     debug_on = (self.cfg.pipeline.debug
                                 or (self.cfg.debug_from >= 0
                                     and it >= self.cfg.debug_from))

@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--viewer_port", type=int, default=6009)
     ap.add_argument("--viewer_time", type=float, default=0.0,
                     help="timestamp rendered in viewer mode")
+    ap.add_argument("--fast", action="store_true",
+                    help="packed-row inference fast path (bf16 "
+                         "opacity/color rounding ~0.4%%; no flow)")
     ap.add_argument("--export_pth", default=None,
                     help="write a reference-format torch checkpoint "
                          "(loads in the upstream repo)")
@@ -76,6 +79,7 @@ def main(argv=None):
               file=__import__("sys").stderr)
         return 2
     trainer = Trainer(cfg)
+    trainer.eval_infer = bool(args.fast)
     trainer.load(args.checkpoint)
 
     if args.viewer:

@@ -188,3 +188,21 @@ def test_seed_determinism(tmp_path):
     l2, x2 = run()
     assert l1 == l2                        # bit-exact trajectory
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_eval_infer_fast_path(tmp_path):
+    """render_cli --fast: the eval renderer's packed-row inference path
+    must match the exact eval render within bf16 rounding."""
+    _write_scene(tmp_path, n_frames=4)
+    cfg = _config(tmp_path)
+    tr = Trainer(cfg, verbose=False)
+    tr.backend = "pallas_interpret"
+    cam = tr.scene.train_cameras[0]
+    color_e, depth_e, alpha_e = tr.render_view(cam)
+    tr.eval_infer = True
+    tr._eval_fn = None
+    color_i, depth_i, alpha_i = tr.render_view(cam)
+    np.testing.assert_allclose(np.asarray(color_i), np.asarray(color_e),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(alpha_i), np.asarray(alpha_e),
+                               atol=2e-2)
