@@ -72,8 +72,9 @@ class PallasBlendConfig(NamedTuple):
     # Tiles processed per Pallas program: the fixed per-grid-step cost is
     # ~1.05 us (measured, scripts/probe_kernel_overhead.py) while the
     # average tile has only ~2-3 chunks of work, so one-tile programs
-    # spend >30% of kernel time on program overhead.
-    tiles_per_program: int = 4
+    # spend >30% of kernel time on program overhead. Measured on the
+    # composed bench: 4 -> 20.64, 8 -> 20.82, 16 -> 20.56 Mrays/s.
+    tiles_per_program: int = 8
     # bf16-split term budget for the backward kernel's three DATA matmuls
     # (gdot, pixel-moment basis, d_feat): 0 = HIGHEST (6 passes, parity
     # mode). (a, b) = split the cotangent/d_power operand into `a` bf16

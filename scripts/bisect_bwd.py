@@ -90,6 +90,23 @@ def main():
         return (upto_fwd(s, eps) * 0.0
                 + jnp.mean(eg[:, ::997].astype(jnp.float32)))
 
+    def upto_reduce_sort(s, eps):
+        # C1: only the reduce's multi-payload sort (cumsum/segments DCEd).
+        inst, abins, raw, accum = fwd_parts(s, eps)
+        dcot = jnp.concatenate([
+            jnp.full((OPTS.num_tiles, 7, 256), 0.5, jnp.float32) + eps,
+            jnp.zeros((OPTS.num_tiles, 1, 256), jnp.float32)], axis=1)
+        eg = pallas_blend.blend_backward_pallas(
+            pcfg, inst, abins.tile_start, abins.tile_count, raw, dcot)
+        rp = eg.shape[1]
+        live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
+        packed = [jnp.where(live, eg[i], jnp.uint32(0)) for i in range(5)]
+        srt = jax.lax.sort(
+            (abins.gauss_id.astype(jnp.uint32),) + tuple(packed),
+            num_keys=1, is_stable=False)
+        return sum(jnp.sum(x[::4096].astype(jnp.float32)) * 1e-20
+                   for x in srt[1:])
+
     def upto_reduce(s, eps):
         inst, abins, raw, accum = fwd_parts(s, eps)
         dcot = jnp.concatenate([
@@ -120,6 +137,7 @@ def main():
 
     timed("A fwd (pre+bin+inst+fwdk)", scan(upto_fwd), scene)
     timed("B A + bwd kernel", scan(upto_bwdk), scene)
+    timed("C1 B + reduce sort only", scan(upto_reduce_sort), scene)
     timed("C B + grad reduce", scan(upto_reduce), scene)
     timed("D full value_and_grad + loss", scan(full_grad), scene)
 
