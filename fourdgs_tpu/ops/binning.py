@@ -49,20 +49,33 @@ class AlignedBins(NamedTuple):
     (XLA scatter on TPU is ~20x slower than gather): tile membership of
     aligned positions comes from a boundary-mark cumsum; the gradient
     reduce groups each gaussian's rows by SORTING the gradient columns
-    on `gauss_id` (sorts are the cheapest permutation primitive on TPU,
-    and gauss_id is already a main-sort output — no extra payload
-    column rides the big sort for the reduce's sake)."""
-    gauss_id: jax.Array        # (Rp,) int32 (p = invalid padding) — also
+    on `row_id` (sorts are the cheapest permutation primitive on TPU,
+    and row_id decodes for free from the sorted key — NO payload column
+    rides the big sort at all)."""
+    row_id: jax.Array          # (Rp,) int32 — index into the
+    #                            source_perm-ORDERED per-gaussian row
+    #                            table (>= P = invalid/dummy padding).
+    #                            Rank path: the owning gaussian's depth
+    #                            rank, decoded for free from the sorted
+    #                            key; lex path: the gaussian id. Also
     #                            the grad-reduce sort key: equal ids
     #                            group a gaussian's rows, dummy/garbage
-    #                            rows carry id p and sort last
+    #                            rows carry ids >= P and sort last
+    source_perm: jax.Array     # (P,) int32 — row_id -> gaussian index
+    #                            (gauss_of_rank / identity): the
+    #                            instance build pre-permutes its source
+    #                            table by this so gathering by row_id
+    #                            lands on the right gaussian without a
+    #                            per-instance decode gather
+    out_perm: jax.Array        # (P,) int32 — gaussian index -> its
+    #                            grad-reduce segment (rank / identity)
     tile_start: jax.Array      # (num_tiles,) int32 — K-aligned offsets
     tile_count: jax.Array      # (num_tiles,) int32 — true instance counts
     total_len: jax.Array       # () int32 — end of the live aligned region
     seg_offsets: jax.Array     # (P,) int32 inclusive segment-end offsets
-    #                            in gauss_id order (cumsum of the
-    #                            truncation-aware tiles_touched) for the
-    #                            grad reduce
+    #                            in row_id order (cumsum of the
+    #                            truncation-aware tiles_touched taken in
+    #                            source_perm order) for the grad reduce
     num_rendered: jax.Array    # () int32
     max_per_tile: jax.Array    # () int32
     dropped: jax.Array         # () int32 — instances dropped by the
@@ -72,7 +85,8 @@ class AlignedBins(NamedTuple):
 def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
                           capacity: int, k: int,
                           force_lex: bool = False,
-                          dummy_cap: int | None = None) -> AlignedBins:
+                          dummy_cap: int | None = None,
+                          grad: bool = True) -> AlignedBins:
     """One-sort construction of the K-aligned instance layout for the
     Pallas kernels.
 
@@ -116,7 +130,8 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
                    and capacity < 2 ** 24)
     ndum = _dummy_budget(opts.num_tiles, k, dummy_cap)
     if packed_fits and not force_lex:
-        return _bin_aligned_rank(proc, opts, capacity, k, span, ndum)
+        return _bin_aligned_rank(proc, opts, capacity, k, span, ndum,
+                                 grad)
     return _bin_aligned_lex(proc, opts, capacity, k, ndum)
 
 
@@ -151,20 +166,22 @@ def _dummy_owner(pad: jax.Array, ndum: int, num_tiles: int):
     return owner, live, total_pad
 
 
-def _aligned_epilogue(gid_s, aligned_off, counts, total_len, total_pad,
-                      seg_offsets, num_rendered, num_eff,
-                      ndum: int) -> AlignedBins:
+def _aligned_epilogue(row_id, source_perm, out_perm, aligned_off, counts,
+                      total_len, total_pad, seg_offsets, num_rendered,
+                      num_eff, ndum: int) -> AlignedBins:
     """Shared tail of both aligned binners: clamp tile ranges into the
     static buffer [0, rp) (memory safety whatever the data does) and set
     the dummy-budget overflow sentinels. In steady state (total_pad
     within budget) every clamp is a no-op: total_len = num_eff +
     total_pad <= capacity + ndum = rp."""
-    rp = gid_s.shape[0]
+    rp = row_id.shape[0]
     ok = total_pad <= ndum
     start_c = jnp.minimum(aligned_off, rp)
     count_c = jnp.clip(counts, 0, rp - start_c)
     return AlignedBins(
-        gauss_id=gid_s,
+        row_id=row_id,
+        source_perm=source_perm,
+        out_perm=out_perm,
         tile_start=start_c,
         tile_count=count_c,
         total_len=jnp.where(ok, jnp.minimum(total_len, rp), rp + 1),
@@ -222,8 +239,8 @@ def _rect_histogram(proc, opts, last_full):
 
 
 def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
-                      capacity: int, k: int, span: int,
-                      ndum: int) -> AlignedBins:
+                      capacity: int, k: int, span: int, ndum: int,
+                      grad: bool) -> AlignedBins:
     """Packed-rank-key aligned binning (see bin_gaussians_aligned)."""
     p = proc.tiles_touched.shape[0]
     num_tiles = opts.num_tiles
@@ -256,8 +273,9 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         xyw,
         begin,                                              # first slot
         rank,
-        iota_p,                                             # gid
     ]
+    if grad:
+        fields.append(iota_p)                               # gid
     rows = []
     for f in fields:
         d = jnp.concatenate([f[:1], f[1:] - f[:-1]])
@@ -288,7 +306,6 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         tile.astype(jnp.uint32) * jnp.uint32(span)
         + filled[2].astype(jnp.uint32),
         invalid_key)
-    gid = jnp.where(valid, filled[3].astype(jnp.int32), p)
 
     counts = _rect_histogram(proc, opts, last_full)
     pad = (-counts) % k
@@ -306,25 +323,38 @@ def _bin_aligned_rank(proc: ProcessedGaussians, opts: RenderOptions,
         + jnp.uint32(span - 1),
         invalid_key)
     all_key = jnp.concatenate([key, dummy_key])
-    all_gid = jnp.concatenate([gid, jnp.full((ndum,), p, jnp.int32)])
-
-    # TWO-operand main sort: the only payload is gauss_id (needed by the
-    # instance build anyway); the gradient reduce keys on it directly,
-    # so no expansion-slot column rides the 1M-row sort (measured
-    # ~1.5 ms/iter composed at bench shape for one extra payload).
-    _, gid_s = jax.lax.sort(
-        (all_key, all_gid), num_keys=1, is_stable=False)
-
-    # Grad-reduce segment boundaries in gaussian-id order: gaussian g's
-    # rows occupy [seg_offsets[g-1], seg_offsets[g]) of the gid-sorted
-    # gradient rows; truncated gaussians (index > last_full) contribute
-    # empty segments.
     tt_eff = jnp.where(iota_p <= last_full, proc.tiles_touched, 0)
 
+    if not grad:
+        # Gradient-free (inference) path: SINGLE-OPERAND sort — the
+        # rank decodes from the sorted key itself (key mod span) and
+        # the instance build gathers from a rank-ORDERED source table
+        # (one cheap P-row pre-gather by gauss_of_rank), so no payload
+        # column rides the 1M-row sort and, unlike the reverted v2
+        # design, there is no per-instance decode gather either.
+        # Measured +6% render fps; the TRAINING path keeps the gid
+        # payload below because the rank-indirect grad reduce measured
+        # ~1.6 ms/iter SLOWER composed (the same indirect-decode
+        # pathology that sank v2, commit 106de35).
+        key_s = jax.lax.sort(all_key, is_stable=False)
+        row_id = (key_s & jnp.uint32(span - 1)).astype(jnp.int32)
+        return _aligned_epilogue(
+            row_id, gauss_of_rank, rank, aligned_off, counts, total_len,
+            total_pad, jnp.cumsum(tt_eff[gauss_of_rank], dtype=jnp.int32),
+            num_rendered, num_eff, ndum)
+
+    # TWO-operand main sort for training: the only payload is the
+    # gaussian id — the gradient reduce keys on it directly with
+    # identity source/output perms (no expansion-slot column, no
+    # rank indirection).
+    gid = jnp.where(valid, filled[3].astype(jnp.int32), p)
+    all_gid = jnp.concatenate([gid, jnp.full((ndum,), p, jnp.int32)])
+    _, gid_s = jax.lax.sort(
+        (all_key, all_gid), num_keys=1, is_stable=False)
     return _aligned_epilogue(
-        gid_s, aligned_off, counts, total_len, total_pad,
-        jnp.cumsum(tt_eff, dtype=jnp.int32), num_rendered, num_eff,
-        ndum)
+        gid_s, iota_p, iota_p, aligned_off, counts, total_len,
+        total_pad, jnp.cumsum(tt_eff, dtype=jnp.int32),
+        num_rendered, num_eff, ndum)
 
 
 def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
@@ -402,8 +432,9 @@ def _bin_aligned_lex(proc: ProcessedGaussians, opts: RenderOptions,
 
     tt_eff = jnp.where(jnp.arange(p) <= last_full, proc.tiles_touched, 0)
 
+    iota = jnp.arange(p, dtype=jnp.int32)
     return _aligned_epilogue(
-        gid_s, aligned_off, counts, total_len, total_pad,
+        gid_s, iota, iota, aligned_off, counts, total_len, total_pad,
         jnp.cumsum(tt_eff, dtype=jnp.int32), num_rendered, num_eff,
         ndum)
 
@@ -487,6 +518,18 @@ def bin_gaussians(proc: ProcessedGaussians, opts: RenderOptions,
     )
 
 
+def aligned_gauss_ids(abins: AlignedBins) -> jax.Array:
+    """Decode true gaussian ids (P = invalid) from the aligned layout:
+    source_perm[row_id] with out-of-range rows mapped to the sentinel P.
+    A per-instance gather — use only in tests/tools, never on the hot
+    path (the production consumers pre-permute their source tables by
+    source_perm instead)."""
+    p = abins.source_perm.shape[0]
+    perm_ext = jnp.concatenate(
+        [abins.source_perm, jnp.full((1,), p, jnp.int32)])
+    return perm_ext[jnp.minimum(abins.row_id, p)]
+
+
 def aligned_capacity(capacity: int, num_tiles: int, k: int) -> int:
     """WORST-CASE padded-instance capacity for the chunk-aligned layout
     (dummy_cap = num_tiles * k); the default compact budget is smaller —
@@ -529,18 +572,19 @@ def aligned_entry_grads_to_gaussian_grads(
     fast: bool = False,          # bf16 sort payloads (see fast_grad_reduce)
 ) -> jax.Array:
     """Aligned-layout gradient reduce: group each gaussian's rows by
-    SORTING the gradient columns on `gauss_id` (one multi-payload
+    SORTING the gradient columns on `row_id` (one multi-payload
     `lax.sort` — profiled cheaper than the row gather through an inverse
-    permutation), then cumsum segment sums per gaussian.
+    permutation), then cumsum segment sums per segment and permute to
+    gaussian order with `out_perm` (a cheap (P, C) row gather).
 
-    gauss_id is already a main-sort output (the instance build needs
-    it), so keying the reduce on it keeps the expansion-slot column off
-    the main sort entirely. Equal keys group a gaussian's rows; the
-    unstable sort may order them arbitrarily WITHIN the segment, which
-    only permutes the f32 summation order (the same reordering class as
+    row_id decodes for free from the main sort's key (the depth rank on
+    the packed-key path), so NO payload column rides the main sort for
+    the reduce's sake. Equal keys group a gaussian's rows; the unstable
+    sort may order them arbitrarily WITHIN the segment, which only
+    permutes the f32 summation order (the same reordering class as
     permuting the gaussians themselves — see scripts/tpu_verify.py's
-    calibrated bound). Dummy/garbage rows carry id p and sort past the
-    live prefix; rows past `total_len` are never written by the
+    calibrated bound). Dummy/garbage rows carry ids >= P and sort past
+    the live prefix; rows past `total_len` are never written by the
     backward kernel (garbage memory) — their payload is zeroed before
     the sort. The cumsum runs in the (C, R) field-major layout along the
     lane axis — an (R, C) layout pads C -> 128 lanes on TPU and costs
@@ -557,7 +601,7 @@ def aligned_entry_grads_to_gaussian_grads(
             raise ValueError("packed u32 gradient rows require fast=True")
         c = 2 * c
     live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
-    key = abins.gauss_id.astype(jnp.uint32)
+    key = abins.row_id.astype(jnp.uint32)
     if fast:
         if pre_packed:
             packed = [jnp.where(live, entry_grads_fm[i], jnp.uint32(0))
@@ -601,12 +645,13 @@ def aligned_entry_grads_to_gaussian_grads(
     csum_z = jnp.concatenate(
         [jnp.zeros((c, 1), jnp.float32), csum], axis=1)
     per_seg = (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T   # (P, C)
+    per_gauss = per_seg[abins.out_perm]
     # Dummy-budget overflow sentinel (total_len > Rp): the aligned
     # layout of this step is unusable and the segment boundaries no
     # longer describe the sorted rows — zero the whole gradient (the
     # trainer sees dropped == num_rendered and grows the budget; one
     # no-op update beats one scrambled update).
-    return jnp.where(abins.total_len > rp, 0.0, per_seg)
+    return jnp.where(abins.total_len > rp, 0.0, per_gauss)
 
 
 def entry_grads_to_gaussian_grads(

@@ -954,9 +954,13 @@ def _build_inst_data(xy, conic, opacity, feat, abins):
     src = jnp.concatenate([
         xy, conic, opacity[:, None], feat,
         jnp.zeros((p, ROW - 12), xy.dtype)], axis=1)     # (P, 16)
-    src = jnp.concatenate([src, jnp.zeros((1, ROW), xy.dtype)], axis=0)
+    # Pre-permute the source table into row_id order (one cheap P-row
+    # gather) so the per-instance gather needs no gid decode; the
+    # appended zero row is the sentinel every id >= P clamps to.
+    src = jnp.concatenate([src[abins.source_perm],
+                           jnp.zeros((1, ROW), xy.dtype)], axis=0)
     ids = jnp.concatenate([
-        jnp.minimum(abins.gauss_id, p),
+        jnp.minimum(abins.row_id, p),
         jnp.full((CHUNK,), p, jnp.int32)])
     rows = src[ids]                                      # (Rp + K, 16)
     return rows.T                                        # (16, Rp + K)
@@ -977,9 +981,10 @@ def _build_inst_data_infer(xy, conic, opacity, feat_rgbd, abins):
         _pack2(feat_rgbd[:, 1], feat_rgbd[:, 2])[:, None],
         _pack2(feat_rgbd[:, 3], jnp.zeros((p,), jnp.float32))[:, None],
     ], axis=1)                                              # (P, 8)
-    src = jnp.concatenate([src, jnp.zeros((1, 8), jnp.uint32)], axis=0)
+    src = jnp.concatenate([src[abins.source_perm],
+                           jnp.zeros((1, 8), jnp.uint32)], axis=0)
     ids = jnp.concatenate([
-        jnp.minimum(abins.gauss_id, p),
+        jnp.minimum(abins.row_id, p),
         jnp.full((CHUNK,), p, jnp.int32)])
     return src[ids].T                                       # (8, Rp + K)
 
@@ -1063,7 +1068,7 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     # straight into the sort-based reduce — no transpose. Packed mode
     # hands over 5 u32 rows (= channels 0..9 as bf16 pairs).
     capacity = (cfg.inst_capacity if cfg.inst_capacity is not None
-                else abins.gauss_id.shape[0] - cfg.num_tiles * CHUNK)
+                else abins.row_id.shape[0] - cfg.num_tiles * CHUNK)
     n_rows = 5 if cfg.packed_grads else 10
     per_gauss = aligned_entry_grads_to_gaussian_grads(
         entry_grads[:n_rows], abins, capacity=capacity,

@@ -87,7 +87,7 @@ def render(
     if infer and backend in ("pallas", "pallas_interpret"):
         abins = binning.bin_gaussians_aligned(
             jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK,
-            dummy_cap=dummy_cap)
+            dummy_cap=dummy_cap, grad=False)
         pcfg = pallas_blend.PallasBlendConfig(
             height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
             tiles_y=opts.tiles_y,

@@ -102,7 +102,7 @@ def main():
         live = jnp.arange(rp, dtype=jnp.int32) < abins.total_len
         packed = [jnp.where(live, eg[i], jnp.uint32(0)) for i in range(5)]
         srt = jax.lax.sort(
-            (abins.gauss_id.astype(jnp.uint32),) + tuple(packed),
+            (abins.row_id.astype(jnp.uint32),) + tuple(packed),
             num_keys=1, is_stable=False)
         return sum(jnp.sum(x[::4096].astype(jnp.float32)) * 1e-20
                    for x in srt[1:])

@@ -91,9 +91,11 @@ def main():
         proc = stage_pre(s, eps)
         abins = binning.bin_gaussians_aligned(
             jax.lax.stop_gradient(proc), OPTS, CAPACITY, pallas_blend.CHUNK)
-        # consume only what the fwd kernel path needs (gauss_id,
-        # tile_start/count), letting XLA DCE slot/offsets (bwd-only).
-        return (jnp.sum(abins.gauss_id[::4096]).astype(jnp.float32) * 1e-20
+        # consume only what the fwd kernel path needs (row_id,
+        # source_perm, tile_start/count), letting XLA DCE the
+        # bwd-only seg_offsets/out_perm.
+        return (jnp.sum(abins.row_id[::4096]).astype(jnp.float32) * 1e-20
+                + consume(abins.source_perm)
                 + consume(abins.tile_start) + consume(abins.tile_count))
 
     def upto_inst(s, eps):

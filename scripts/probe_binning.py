@@ -74,7 +74,7 @@ def main():
     # full aligned binning
     def full(e):
         ab = binning.bin_gaussians_aligned(jproc(e), OPTS, CAPACITY, K)
-        return (consume(ab.gauss_id) + consume(ab.slot)
+        return (consume(ab.row_id)  # (historical: + slot)
                 + consume(ab.tile_start) + consume(ab.tile_count))
     timed("full bin_gaussians_aligned", scan(full))
 

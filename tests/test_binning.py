@@ -60,20 +60,23 @@ def _naive_tile_lists(proc, num_tiles, tiles_x, limit):
     return out
 
 
+@pytest.mark.parametrize("grad", [True, False])
 @pytest.mark.parametrize("force_lex", [False, True])
 @pytest.mark.parametrize("dup_depths", [False, True])
 @pytest.mark.parametrize("p", [1, 17, 120])
-def test_aligned_matches_naive(rng, p, dup_depths, force_lex):
+def test_aligned_matches_naive(rng, p, dup_depths, force_lex, grad):
     # force_lex exercises the lexicographic fallback path (chosen
-    # automatically only when the packed rank key cannot fit u32).
+    # automatically only when the packed rank key cannot fit u32);
+    # grad=False the single-operand inference sort (rank-indexed
+    # source table).
     k = 8
     capacity = 512
     proc = _proc(rng, p, dup_depths=dup_depths)
     ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
-                                       force_lex=force_lex)
+                                       force_lex=force_lex, grad=grad)
     want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, capacity)
 
-    gid = np.asarray(ab.gauss_id)
+    gid = np.asarray(binning.aligned_gauss_ids(ab))
     start = np.asarray(ab.tile_start)
     count = np.asarray(ab.tile_count)
     assert int(ab.num_rendered) == sum(len(v) for v in want.values())
@@ -82,24 +85,28 @@ def test_aligned_matches_naive(rng, p, dup_depths, force_lex):
         got = [int(gid[i]) for i in range(start[t], start[t] + count[t])]
         assert got == [g for g, _ in want[t]], f"tile {t} mismatch"
     # seg_offsets = inclusive cumsum of per-gaussian instance counts
-    # (the grad-reduce segment boundaries in gauss_id order).
+    # taken in source_perm (row_id) order; out_perm inverts source_perm.
+    perm = np.asarray(ab.source_perm)
     assert np.array_equal(
         np.asarray(ab.seg_offsets),
-        np.cumsum(np.asarray(proc.tiles_touched)))
+        np.cumsum(np.asarray(proc.tiles_touched)[perm]))
+    assert np.array_equal(np.asarray(ab.out_perm)[perm], np.arange(p))
 
 
 @pytest.mark.parametrize("fast", [False, True])
-@pytest.mark.parametrize("force_lex", [False, True])
-def test_aligned_grad_reduce_oracle(rng, force_lex, fast):
-    """The gid-keyed sort reduce must equal a per-gaussian numpy segment
-    sum of the live aligned rows (dummy/garbage rows excluded)."""
+@pytest.mark.parametrize("mode", ["gid", "lex", "rank"])
+def test_aligned_grad_reduce_oracle(rng, mode, fast):
+    """The row_id-keyed sort reduce must equal a per-gaussian numpy
+    segment sum of the live aligned rows (dummy/garbage rows excluded)
+    under every layout contract (gid payload / lex / rank-indexed)."""
     k = 8
     p = 60
     capacity = 512
     proc = _proc(rng, p)
     ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
-                                       force_lex=force_lex)
-    rp = ab.gauss_id.shape[0]
+                                       force_lex=(mode == "lex"),
+                                       grad=(mode != "rank"))
+    rp = ab.row_id.shape[0]
     c = 10
     grads = rng.normal(size=(c, rp)).astype(np.float32)
     if fast:
@@ -108,7 +115,8 @@ def test_aligned_grad_reduce_oracle(rng, force_lex, fast):
             jnp.asarray(grads).astype(jnp.bfloat16).astype(jnp.float32))
     out = np.asarray(binning.aligned_entry_grads_to_gaussian_grads(
         jnp.asarray(grads), ab, capacity=capacity, fast=fast))
-    gid = np.asarray(ab.gauss_id)
+    gid = np.asarray(binning.aligned_gauss_ids(ab))
+    rp = ab.row_id.shape[0]
     live = np.arange(rp) < int(ab.total_len)
     want = np.zeros((p, c), np.float32)
     for i in range(rp):
@@ -136,7 +144,7 @@ def test_aligned_whole_gaussian_truncation(rng):
             n_eff = offsets[g]
     assert int(np.asarray(ab.tile_count).sum()) == n_eff
     want = _naive_tile_lists(proc, OPTS.num_tiles, OPTS.tiles_x, n_eff)
-    gid = np.asarray(ab.gauss_id)
+    gid = np.asarray(binning.aligned_gauss_ids(ab))
     start = np.asarray(ab.tile_start)
     count = np.asarray(ab.tile_count)
     for t in range(OPTS.num_tiles):
@@ -154,7 +162,7 @@ def test_dummy_budget_overflow_sentinels(rng):
     proc = _proc(rng, p)
     ab = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
                                        dummy_cap=k)     # 8 << needed
-    rp = ab.gauss_id.shape[0]
+    rp = ab.row_id.shape[0]
     assert rp == capacity + k
     assert int(ab.dropped) == int(ab.num_rendered)
     assert int(ab.total_len) == rp + 1
@@ -182,7 +190,8 @@ def test_dummy_budget_exact_matches_full(rng):
     tight = binning.bin_gaussians_aligned(proc, OPTS, capacity, k,
                                           dummy_cap=max(k, need))
     assert int(tight.dropped) == 0
-    gid_f, gid_t = np.asarray(full.gauss_id), np.asarray(tight.gauss_id)
+    gid_f = np.asarray(binning.aligned_gauss_ids(full))
+    gid_t = np.asarray(binning.aligned_gauss_ids(tight))
     start, cnt = np.asarray(full.tile_start), counts
     for t in range(OPTS.num_tiles):
         np.testing.assert_array_equal(

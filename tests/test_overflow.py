@@ -63,7 +63,7 @@ def test_aligned_bins_counts_match_truncation(rng):
     # gaussians present: total counted <= cap.
     assert int(jnp.sum(abins.tile_count)) <= cap
     # And ids in each tile's live range are valid gaussians.
-    gid = np.asarray(abins.gauss_id)
+    gid = np.asarray(binning.aligned_gauss_ids(abins))
     starts = np.asarray(abins.tile_start)
     counts = np.asarray(abins.tile_count)
     for t in range(OPTS.num_tiles):
