@@ -121,7 +121,12 @@ def main():
     # on (program, inputs): any timing call that repeats a historical
     # (identical HLO, identical inputs) pair is replayed in ~0 ms. Every
     # rep therefore carries a process-unique input salt.
-    ITERS, REPS = 16, 3
+    #
+    # The reported number is the MEDIAN of REPS calls (one warm-up call
+    # discarded), with the relative spread (max-min)/median recorded in
+    # the JSON — min-of-3 was found to flatter by ~5% vs the
+    # steady-state median the driver actually reproduces (VERDICT r4).
+    ITERS, REPS = 16, 7
     salt = (time.time_ns() % 997) * 1e-7
 
     def timed_scan(step):
@@ -132,17 +137,19 @@ def main():
             return jax.lax.scan(body, 0.0, jnp.arange(ITERS))[0]
 
         jax.block_until_ready(run(jnp.float32(salt)))   # compile + warm
-        best = float("inf")
+        times = []
         vals = set()
         for r in range(REPS):
             t0 = time.perf_counter()
             v = float(jax.block_until_ready(
                 run(jnp.float32((r + 1) * 1e-4 + salt))))
-            best = min(best, (time.perf_counter() - t0) / ITERS)
+            times.append((time.perf_counter() - t0) / ITERS)
             vals.add(v)
         assert len(vals) == REPS, f"reps not distinct: {vals} (replay?)"
-        assert best > 1e-4, f"implausible {best*1e3:.3f} ms/iter (replay?)"
-        return best
+        med = float(np.median(times))
+        assert med > 1e-4, f"implausible {med*1e3:.3f} ms/iter (replay?)"
+        spread = (max(times) - min(times)) / med
+        return med, spread
 
     if "--render" in sys.argv:
         # Forward-only mode: the reference's headline claim is real-time
@@ -159,12 +166,14 @@ def main():
             return (jnp.mean(out.color) + jnp.mean(out.depth)
                     + jnp.mean(out.alpha))
 
-        fps = 1.0 / timed_scan(fwd_step)
+        med, spread = timed_scan(fwd_step)
+        fps = 1.0 / med
         print(json.dumps({
             "metric": f"render frames/s/chip ({label})",
             "value": round(fps, 2),
             "unit": "frames/s",
             "vs_baseline": round(fps * h * w / BASELINE_RAYS_PER_S, 3),
+            "spread_pct": round(100 * spread, 1),
         }))
         return
 
@@ -181,12 +190,14 @@ def main():
         (loss, _), grads = grad_fn(d2, aux)
         return loss + sum(jnp.mean(g) for g in jax.tree.leaves(grads))
 
-    rays_per_s = h * w / timed_scan(grad_step)
+    med, spread = timed_scan(grad_step)
+    rays_per_s = h * w / med
     print(json.dumps({
         "metric": f"fwd+bwd rays/s/chip ({label})",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "spread_pct": round(100 * spread, 1),
     }))
 
 

@@ -160,8 +160,9 @@ class Trainer:
             4 * len(pcd.points) * cfg.instance_slack, 65536)
         self.tile_capacity = 2048
         # Aligned-layout dummy budget: None = binning's statistical auto
-        # (mean + 8.6 sigma); grown to the exact worst case if a step
-        # ever overflows it (see the dropped-counter watch in train()).
+        # (0.75k/tile + 2.5k*sqrt(tiles), see ops.binning._dummy_budget);
+        # grown to the exact worst case if a step ever overflows it (see
+        # the dropped-counter watch in train()).
         self.dummy_cap = None
         # Eval/viewer renders take the packed-row inference fast path
         # when set (render_cli --fast): ~0.4% bf16 rounding on

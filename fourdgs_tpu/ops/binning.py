@@ -98,12 +98,11 @@ def bin_gaussians_aligned(proc: ProcessedGaussians, opts: RenderOptions,
     searchsorted.
 
     `dummy_cap` bounds the dummy block: the worst case is K-1 pads per
-    tile, but the expected need is ~K/2 per LIVE tile, so a static
-    budget of ~0.6K per tile keeps >10 sigma of headroom while cutting
-    every capacity-scaled stage (main sort, instance gather, gradient
-    buffer, reduce sort) by the difference. None = auto
-    (min(num_tiles*k, ~0.625k per tile)); pass num_tiles*k for the
-    exact worst case. If the budget ever overflows, the layout of that
+    tile, but the expected need is well below that, so a sub-worst-case
+    static budget cuts every capacity-scaled stage (main sort, instance
+    gather, gradient buffer, reduce sort) by the difference. None = auto
+    (min(num_tiles*k, 0.75k per tile + 2.5*k*sqrt(num_tiles)) — see
+    `_dummy_budget`); pass num_tiles*k for the exact worst case. If the budget ever overflows, the layout of that
     step is unusable: the result carries `dropped = num_rendered` and
     `total_len = rp + 1` as sentinels — the gradient reduce zeroes its
     output (see aligned_entry_grads_to_gaussian_grads) and the trainer

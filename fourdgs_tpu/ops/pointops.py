@@ -169,13 +169,16 @@ def attention_step1_v2(q: jax.Array, k: jax.Array, index1: jax.Array,
     return attention_step1(q, k, index0, index1)
 
 
-def attention_step2_v2(attn: jax.Array, v: jax.Array,
-                       index0_offsets: jax.Array, index1: jax.Array,
-                       n_max: int | None = None,
+def attention_step2_v2(attn: jax.Array, v: jax.Array, index0: jax.Array,
+                       index1: jax.Array,
                        n: int | None = None) -> jax.Array:
-    """CSR attention_step2 (reference `pointops.py:268-318`)."""
-    del n_max
-    index0 = _csr_to_coo(index0_offsets, index1.shape[0])
+    """attention_step2 with output length L = max(index0)+1 — unlike the
+    rest of the v2 family this one is COO in the reference too (per-edge
+    `index0`, `pointops.py:268-318` / `attention_cuda_v2.cpp:31-40`);
+    only the CUDA launcher changed. Pass `n` (static L) under jit; with
+    concrete inputs it defaults to the reference's max(index0)+1."""
+    if n is None:
+        n = int(index0.max()) + 1
     return attention_step2(attn, v, index0, index1, n)
 
 

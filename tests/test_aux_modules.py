@@ -272,8 +272,11 @@ def test_pointops_v2_variants_match_coo(rng):
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a1v2), rtol=1e-6)
 
     s2 = pointops.attention_step2(a1, v, i0, i1)
-    s2v2 = pointops.attention_step2_v2(a1, v, offsets, i1, n_max=4)
-    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2v2), rtol=1e-6)
+    # v2 is COO in the reference too (pointops.py:268-318): per-edge
+    # index0, output length max(index0)+1.
+    s2v2 = pointops.attention_step2_v2(a1, v, i0, i1)
+    np.testing.assert_allclose(
+        np.asarray(s2)[: s2v2.shape[0]], np.asarray(s2v2), rtol=1e-6)
 
     table_q = jnp.asarray(rng.normal(size=(L, h, d, 3)), jnp.float32)
     table_k = jnp.asarray(rng.normal(size=(L, h, d, 3)), jnp.float32)
