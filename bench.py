@@ -96,13 +96,42 @@ def main():
     max_per_tile = 4096
     backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
+    # Steady-state budgets, the trainer's own policy (probe once at a
+    # generous capacity, then size instance capacity to measured x
+    # instance_slack and the aligned dummy budget to measured pad x 1.3
+    # — trainer.py:_maybe_grow / the adaptive dummy watch). Every
+    # capacity-scaled stage (main sort, instance gather, grad buffers,
+    # reduce sort) runs at the budget production converges to, not at
+    # the first-guess worst case.
+    from fourdgs_tpu.ops import binning as _binning
+    from fourdgs_tpu.ops import preprocess as _pre
+    from fourdgs_tpu.ops.pallas_blend import CHUNK as _K
+
+    @jax.jit
+    def _probe(s):
+        proc = _pre.preprocess(
+            **{k: s[k] for k in ("means3d", "t", "scales", "scales_t",
+                                 "rotations", "rotations_r", "opacity",
+                                 "sh", "active")},
+            camera=cam, opts=opts)
+        ab = _binning.bin_gaussians_aligned(
+            jax.lax.stop_gradient(proc), opts, capacity, _K)
+        return ab.num_rendered, ab.total_len, ab.dropped
+
+    nr0, tl0, drop0 = (int(x) for x in _probe(scene))
+    assert drop0 == 0, f"probe capacity too small ({nr0} instances)"
+    capacity = min(capacity, -(-int(nr0 * 1.2) // 65536) * 65536)
+    pad0 = tl0 - nr0
+    dummy_cap = max(_K, -(-int(pad0 * 1.3) // _K) * _K)
+
     diff_keys = ("means3d", "t", "scales", "scales_t", "rotations",
                  "rotations_r", "opacity", "sh")
 
     def loss_fn(diff, aux):
         out = render(**diff, **aux, camera=cam, bg=bg, opts=opts,
                      capacity=capacity, max_per_tile=max_per_tile, chunk=32,
-                     backend=backend, fast_grad_reduce=(backend == "pallas"))
+                     backend=backend, fast_grad_reduce=(backend == "pallas"),
+                     dummy_cap=dummy_cap)
         loss, _, _ = photometric_loss(out.color, tgt,
                                       fast=(backend == "pallas"))
         return loss, (out.num_rendered, out.max_per_tile)

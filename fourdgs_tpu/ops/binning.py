@@ -569,6 +569,8 @@ def aligned_entry_grads_to_gaussian_grads(
     abins: AlignedBins,
     capacity: int,               # R of the pre-alignment instance list
     fast: bool = False,          # bf16 sort payloads (see fast_grad_reduce)
+    identity_out_perm: bool = False,  # skip the out_perm gather (both
+    #                                   grad-path binners emit iota)
 ) -> jax.Array:
     """Aligned-layout gradient reduce: group each gaussian's rows by
     SORTING the gradient columns on `row_id` (one multi-payload
@@ -638,13 +640,22 @@ def aligned_entry_grads_to_gaussian_grads(
         stacked = jnp.stack(
             [s[:capacity] for s in sorted_[1:]], axis=0)
     csum = _cumsum_lanes(stacked)                 # (C, R) f32
-    hi = jnp.minimum(abins.seg_offsets, capacity) - 1
-    lo = jnp.minimum(jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                      abins.seg_offsets[:-1]]), capacity) - 1
+    # Segment boundaries are CONSECUTIVE positions of one monotone
+    # array (seg_offsets is an inclusive cumsum): gather the boundary
+    # cumsums ONCE at (P+1,) positions and diff adjacent columns —
+    # half the lane-gather volume of separate hi/lo gathers (the lane
+    # gather dominates this tail at DyNeRF scale: 18.5 -> ~9 ms).
+    pos = jnp.minimum(jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), abins.seg_offsets]), capacity)
     csum_z = jnp.concatenate(
         [jnp.zeros((c, 1), jnp.float32), csum], axis=1)
-    per_seg = (csum_z[:, hi + 1] - csum_z[:, lo + 1]).T   # (P, C)
-    per_gauss = per_seg[abins.out_perm]
+    bound = csum_z[:, pos]                        # (C, P+1)
+    per_seg = (bound[:, 1:] - bound[:, :-1]).T    # (P, C)
+    # Both grad-path binners emit identity out_perm (iota) — only the
+    # no-grad rank path reorders, and it never reduces gradients. The
+    # caller asserts that knowledge via identity_out_perm to skip a
+    # (P, C) row gather XLA cannot DCE on traced values.
+    per_gauss = per_seg if identity_out_perm else per_seg[abins.out_perm]
     # Dummy-budget overflow sentinel (total_len > Rp): the aligned
     # layout of this step is unusable and the segment boundaries no
     # longer describe the sorted rows — zero the whole gradient (the

@@ -1072,7 +1072,7 @@ def _blend_pallas_bwd(cfg: PallasBlendConfig, res, cots):
     n_rows = 5 if cfg.packed_grads else 10
     per_gauss = aligned_entry_grads_to_gaussian_grads(
         entry_grads[:n_rows], abins, capacity=capacity,
-        fast=cfg.fast_grad_reduce)
+        fast=cfg.fast_grad_reduce, identity_out_perm=True)
     d_xy = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
     d_opa = per_gauss[:, 5]

@@ -23,10 +23,17 @@ from fourdgs_tpu.utils.losses import photometric_loss
 
 ITERS = 32
 REPS = 3
-H = W = 800
-CAPACITY = 3 * 2 ** 18
+if "--dynerf" in sys.argv:  # flame_salmon-class shape, mirrors bench.py
+    P, H, W = 300_000, 1014, 1352
+    CAPACITY = 2 ** 21
+    TDUR, SCALE_MU = 10.0, -4.9
+    ITERS = 16
+else:
+    P, H, W = 100_000, 800, 800
+    CAPACITY = 3 * 2 ** 18
+    TDUR, SCALE_MU = 1.0, -4.2
 OPTS = RenderOptions(height=H, width=W, gaussian_dim=4, rot_4d=True,
-                     time_duration=1.0)
+                     time_duration=TDUR)
 
 
 SALT = (time.time_ns() % 997) * 1e-7  # the tunnel result-cache is
@@ -49,7 +56,7 @@ def timed(name, fn, *args):
 
 
 def main():
-    scene, cam, tgt = build_inputs(h=H, w=W)
+    scene, cam, tgt = build_inputs(p=P, h=H, w=W, scale_mu=SCALE_MU)
     camarr = pre.CameraArrays(**cam) if isinstance(cam, dict) else cam
     bg = jnp.zeros(3, jnp.float32)
 
