@@ -61,9 +61,23 @@ def scan(fn):
 
 
 def main():
+    global CAPACITY
     scene, cam, tgt = build_inputs(p=P, h=H, w=W, scale_mu=SCALE_MU)
     camarr = pre.CameraArrays(**cam) if isinstance(cam, dict) else cam
     bg = jnp.zeros(3, jnp.float32)
+
+    # Same steady-state budget probe as bench.py.
+    @jax.jit
+    def probe(s):
+        proc = pre.preprocess(**s, camera=camarr, opts=OPTS)
+        ab = binning.bin_gaussians_aligned(
+            jax.lax.stop_gradient(proc), OPTS, CAPACITY,
+            pallas_blend.CHUNK)
+        return ab.num_rendered, ab.total_len
+    nr0, tl0 = (int(x) for x in probe(scene))
+    CAPACITY = min(CAPACITY, -(-int(nr0 * 1.2) // 65536) * 65536)
+    dummy = max(128, -(-int((tl0 - nr0) * 1.3) // 128) * 128)
+    print(f"budgets: capacity={CAPACITY} dummy={dummy}")
     pcfg = pallas_blend.PallasBlendConfig(
         height=H, width=W, tiles_x=OPTS.tiles_x, tiles_y=OPTS.tiles_y,
         fast_grad_reduce=True, bwd_dot_terms=(2, 2), packed_grads=True)
@@ -74,7 +88,7 @@ def main():
             opts=OPTS)
         abins = binning.bin_gaussians_aligned(
             jax.lax.stop_gradient(proc), OPTS, CAPACITY,
-            pallas_blend.CHUNK)
+            pallas_blend.CHUNK, dummy_cap=dummy)
         feat = jnp.concatenate(
             [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
         inst = pallas_blend._build_inst_data(
@@ -135,7 +149,8 @@ def main():
             out = render(**{**d, "means3d": d["means3d"] + eps}, **aux,
                          camera=camarr, bg=bg, opts=OPTS,
                          capacity=CAPACITY, max_per_tile=4096, chunk=32,
-                         backend="pallas", fast_grad_reduce=True)
+                         backend="pallas", fast_grad_reduce=True,
+                         dummy_cap=dummy)
             loss, _, _ = photometric_loss(out.color, tgt, fast=True)
             return loss
 

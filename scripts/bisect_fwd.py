@@ -56,9 +56,23 @@ def timed(name, fn, *args):
 
 
 def main():
+    global CAPACITY
     scene, cam, tgt = build_inputs(p=P, h=H, w=W, scale_mu=SCALE_MU)
     camarr = pre.CameraArrays(**cam) if isinstance(cam, dict) else cam
     bg = jnp.zeros(3, jnp.float32)
+
+    # Same steady-state budget probe as bench.py.
+    @jax.jit
+    def probe(s):
+        proc = pre.preprocess(**s, camera=camarr, opts=OPTS)
+        ab = binning.bin_gaussians_aligned(
+            jax.lax.stop_gradient(proc), OPTS, CAPACITY,
+            pallas_blend.CHUNK)
+        return ab.num_rendered, ab.total_len
+    nr0, tl0 = (int(x) for x in probe(scene))
+    CAPACITY = min(CAPACITY, -(-int(nr0 * 1.2) // 65536) * 65536)
+    dummy = max(128, -(-int((tl0 - nr0) * 1.3) // 128) * 128)
+    print(f"budgets: capacity={CAPACITY} dummy={dummy}")
 
     def stage_pre(s, eps):
         return pre.preprocess(
@@ -91,13 +105,15 @@ def main():
     def upto_bin(s, eps):
         proc = stage_pre(s, eps)
         abins = binning.bin_gaussians_aligned(
-            jax.lax.stop_gradient(proc), OPTS, CAPACITY, pallas_blend.CHUNK)
+            jax.lax.stop_gradient(proc), OPTS, CAPACITY,
+            pallas_blend.CHUNK, dummy_cap=dummy)
         return consume(proc) + consume(abins)
 
     def upto_bin_only_ids(s, eps):
         proc = stage_pre(s, eps)
         abins = binning.bin_gaussians_aligned(
-            jax.lax.stop_gradient(proc), OPTS, CAPACITY, pallas_blend.CHUNK)
+            jax.lax.stop_gradient(proc), OPTS, CAPACITY,
+            pallas_blend.CHUNK, dummy_cap=dummy)
         # consume only what the fwd kernel path needs (row_id,
         # source_perm, tile_start/count), letting XLA DCE the
         # bwd-only seg_offsets/out_perm.
@@ -108,7 +124,8 @@ def main():
     def upto_inst(s, eps):
         proc = stage_pre(s, eps)
         abins = binning.bin_gaussians_aligned(
-            jax.lax.stop_gradient(proc), OPTS, CAPACITY, pallas_blend.CHUNK)
+            jax.lax.stop_gradient(proc), OPTS, CAPACITY,
+            pallas_blend.CHUNK, dummy_cap=dummy)
         feat = jnp.concatenate(
             [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
         inst = pallas_blend._build_inst_data(
@@ -118,7 +135,8 @@ def main():
     def upto_fwdk(s, eps):
         proc = stage_pre(s, eps)
         abins = binning.bin_gaussians_aligned(
-            jax.lax.stop_gradient(proc), OPTS, CAPACITY, pallas_blend.CHUNK)
+            jax.lax.stop_gradient(proc), OPTS, CAPACITY,
+            pallas_blend.CHUNK, dummy_cap=dummy)
         feat = jnp.concatenate(
             [proc.rgb, proc.depth[:, None], proc.flow], axis=-1)
         inst = pallas_blend._build_inst_data(
@@ -133,7 +151,7 @@ def main():
         out = render(**{**s, "means3d": s["means3d"] + eps},
                      camera=camarr, bg=bg, opts=OPTS, capacity=CAPACITY,
                      max_per_tile=4096, chunk=32, backend="pallas",
-                     fast_grad_reduce=True)
+                     fast_grad_reduce=True, dummy_cap=dummy)
         loss, _, _ = photometric_loss(out.color, tgt)
         return loss * 1e-20
 
