@@ -92,7 +92,8 @@ def render(
             height=opts.height, width=opts.width, tiles_x=opts.tiles_x,
             tiles_y=opts.tiles_y,
             interpret=(backend == "pallas_interpret"),
-            inst_capacity=capacity, infer=True, fwd_terms=1)
+            inst_capacity=capacity, infer=True, fwd_terms=1,
+            tiles_per_program=16)
         color, depth_img, alpha_img = pallas_blend.blend_pallas_infer(
             pcfg, proc.xy, proc.conic, proc.opacity,
             jnp.concatenate([proc.rgb, proc.depth[:, None]], axis=-1),
