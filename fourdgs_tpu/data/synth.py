@@ -310,6 +310,136 @@ def render_frames(scene: SynthScene, eyes, times, width: int, height: int,
         yield np.asarray(color), np.asarray(alpha)
 
 
+def _sky_texture(res: int = 256, seed: int = 0) -> np.ndarray:
+    """(res, res, 3) dim procedural equirect sky: smooth elevation
+    gradient + low-frequency azimuth bands. Deliberately dark (<~0.35):
+    the loader's alpha-mask convention multiplies GT rgb by alpha
+    (`fetch_gt`, mirroring reference `scene/cameras.py:53-56`), so the
+    sky's supervised target is near-black — a dim true sky keeps the
+    dataset self-consistent."""
+    rng = np.random.default_rng(seed + 91)
+    v = np.linspace(0.0, 1.0, res)[:, None]
+    u = np.linspace(0.0, 2 * np.pi, res)[None, :]
+    base = 0.28 * (1.0 - v) + 0.04
+    bands = 0.06 * np.sin(3 * u + rng.uniform(0, 6.3)) \
+        + 0.04 * np.sin(7 * u + rng.uniform(0, 6.3))
+    tex = np.stack([base + bands * 0.5,
+                    base * 0.9 + bands,
+                    base * 1.15 + bands * 0.3], axis=-1)
+    return np.clip(tex, 0.0, 0.4).astype(np.float32)
+
+
+def rig_poses(n_cams: int, radius: float = 4.2, seed: int = 0):
+    """Fixed multi-camera rig (DyNeRF-style): cameras on an upper-
+    hemisphere ring with deterministic jitter, all aimed at the scene.
+    Camera 0 is the held-out test view (the N3V convention,
+    `scripts/n3v2blender.py` / data/n3v.py)."""
+    rng = np.random.default_rng(seed + 31)
+    az = np.linspace(0, 2 * math.pi, n_cams, endpoint=False) \
+        + rng.uniform(-0.12, 0.12, n_cams)
+    el = 0.62 + rng.uniform(-0.22, 0.22, n_cams)
+    rad = radius + rng.uniform(-0.3, 0.3, n_cams)
+    return np.stack([rad * np.cos(el) * np.cos(az),
+                     rad * np.cos(el) * np.sin(az),
+                     rad * np.sin(el)], axis=1)
+
+
+def generate_dataset_dynerf(
+        out_dir: str, *, n_cams: int = 15, n_frames: int = 60,
+        n_test_frames: int = 20, width: int = 400, height: int = 400,
+        points_scale: float = 1.0, seed: int = 0, duration: float = 10.0,
+        verbose: bool = False) -> str:
+    """DyNeRF-modality synthetic dataset: a FIXED rig of `n_cams`
+    cameras each capturing `n_frames` video frames over [0, duration]
+    (time_duration [0, 10] like `configs/dynerf/flame_salmon.yaml:2`),
+    written as Blender transforms with absolute `time` values. Camera 0
+    is held out as the test view. Frames are RGBA: rgb = oracle render
+    + (1 - alpha) * procedural sky (sampled through the SAME equirect
+    math the trainable env map uses, models/envmap.py), alpha = oracle
+    coverage — so lambda_opa_mask has a real mask and env_map_res > 0
+    has a real sky path to exercise. Returns out_dir."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..models import envmap as envmap_lib
+    from .cameras import Camera
+
+    manifest = dict(kind="dynerf", n_cams=n_cams, n_frames=n_frames,
+                    n_test_frames=n_test_frames, width=width,
+                    height=height, points_scale=points_scale, seed=seed,
+                    duration=duration, version=1)
+    man_path = os.path.join(out_dir, "synth_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            if json.load(f) == manifest:
+                return out_dir
+
+    scene = make_scene(points_scale=points_scale, seed=seed)
+    eyes = rig_poses(n_cams, seed=seed)
+    sky = jnp.asarray(_sky_texture(seed=seed))
+    train_times = (np.arange(n_frames) + 0.5) / n_frames * duration
+    test_times = (np.arange(n_test_frames) + 0.25) / n_test_frames \
+        * duration
+
+    splits = {
+        "train": [(c, t) for c in range(1, n_cams) for t in train_times],
+        "test": [(0, t) for t in test_times],
+    }
+    fovy = 2 * math.atan(math.tan(FOVX / 2) * height / width)
+    for split, pairs in splits.items():
+        img_dir = os.path.join(out_dir, split)
+        os.makedirs(img_dir, exist_ok=True)
+        frames = []
+        done = 0
+        for cam_i in sorted({c for c, _ in pairs}):
+            times = [t for c, t in pairs if c == cam_i]
+            eye = eyes[cam_i]
+            rot, trans, c2w_gl = look_at_pose(np.asarray(eye))
+            cam = Camera(uid=cam_i, rot=rot, trans=trans, fovx=FOVX,
+                         fovy=fovy, width=width, height=height)
+            # Sky is per-camera constant (static rig): sample once.
+            intr = np.array([
+                width / (2 * math.tan(FOVX / 2)),
+                height / (2 * math.tan(fovy / 2)),
+                width / 2.0, height / 2.0], np.float32)
+            origin, dirs = envmap_lib.camera_rays(
+                jnp.asarray(cam.viewmatrix), jnp.asarray(intr),
+                height, width)
+            sky_img = np.asarray(envmap_lib.sample_sky(sky, origin, dirs))
+            renders = render_frames(scene, [eye] * len(times),
+                                    np.asarray(times) / duration,
+                                    width, height, white_background=False)
+            for t, (color, alpha) in zip(times, renders):
+                rgb = np.clip(
+                    color + (1.0 - np.asarray(alpha))[..., None] * sky_img,
+                    0.0, 1.0)
+                rgba = np.concatenate(
+                    [rgb, np.clip(np.asarray(alpha), 0, 1)[..., None]],
+                    axis=-1)
+                name = f"cam{cam_i:02d}_f{done:04d}"
+                Image.fromarray((rgba * 255).astype(np.uint8)).save(
+                    os.path.join(img_dir, name + ".png"))
+                frames.append({"file_path": f"./{split}/{name}",
+                               "time": float(t),
+                               "transform_matrix": c2w_gl.tolist()})
+                done += 1
+                if verbose and done % 40 == 0:
+                    print(f"[synth-dynerf] {split}: {done}/{len(pairs)}",
+                          flush=True)
+        with open(os.path.join(out_dir, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump({"camera_angle_x": FOVX, "frames": frames}, f)
+    np.savez(os.path.join(out_dir, "gt_cloud.npz"),
+             colors=scene.colors(), scales=scene.scales(),
+             positions_t0=scene.positions_at(0.0),
+             positions_t1=scene.positions_at(1.0),
+             sky=np.asarray(sky))
+    with open(man_path, "w") as f:
+        json.dump(manifest, f)
+    return out_dir
+
+
 def generate_dataset(out_dir: str, *, n_train: int = 100, n_test: int = 20,
                      width: int = 400, height: int = 400,
                      points_scale: float = 1.0, seed: int = 0,

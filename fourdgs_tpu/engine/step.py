@@ -73,6 +73,10 @@ class StepMetrics(NamedTuple):
     n_active: jax.Array
     rigid: jax.Array
     motion: jax.Array
+    aligned_pad: jax.Array = jnp.zeros((), jnp.int32)  # () int32 max
+    #                               over batch — dummy rows consumed by
+    #                               the aligned layout (adaptive-budget
+    #                               observability)
 
 
 def sh_annealing_mask(step, cfg: StepConfig, opts: RenderOptions,
@@ -155,6 +159,7 @@ def build_step_fn(
                                num_rendered=out.num_rendered,
                                max_per_tile=out.max_per_tile,
                                instances_dropped=out.instances_dropped,
+                               aligned_pad=out.aligned_pad,
                                alpha=out.alpha)
 
         color_s, aux = jax.vmap(render_one)(cams, tap, intrinsics)
@@ -289,7 +294,8 @@ def build_step_fn(
             max_per_tile=jnp.max(aux["max_per_tile"]),
             instances_dropped=jnp.sum(aux["instances_dropped"]),
             n_active=gauss.n_active,
-            rigid=aux["rigid"], motion=aux["motion"])
+            rigid=aux["rigid"], motion=aux["motion"],
+            aligned_pad=jnp.max(aux["aligned_pad"]))
         return gauss, env, metrics
 
     return step_fn

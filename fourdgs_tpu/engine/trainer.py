@@ -177,9 +177,11 @@ class Trainer:
         # path land in submission order.
         self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
         self._inflight = deque()   # (it, num_rendered, max_per_tile,
-        #                             instances_dropped) probes
+        #                             instances_dropped, aligned_pad)
         self.truncated_steps = 0          # iterations that trained on a
         self.instances_dropped_total = 0  # truncated instance list
+        self._max_pad_seen = 0     # max aligned dummy rows any step used
+        #                            (feeds _adapt_dummy)
         self.metrics_log = MetricsLogger(cfg.model.model_path)
         # TensorBoard event file in the model dir (the reference's
         # SummaryWriter(args.model_path), `train.py:255-263`); scalars
@@ -447,7 +449,8 @@ class Trainer:
                     color = envmap_lib.composite_sky(
                         color, out.alpha, env_tex, cam.viewmatrix, intr)
                 return (jnp.clip(color, 0.0, 1.0), out.depth, out.alpha,
-                        out.num_rendered, out.max_per_tile)
+                        out.num_rendered, out.max_per_tile,
+                        out.instances_dropped)
             self._eval_fn = eval_fn
         tex = self.env.texture if self.env is not None else None
         return self._eval_fn(self.gauss, tex, cam_arrays, intr)
@@ -469,11 +472,25 @@ class Trainer:
     def render_arrays(self, arrays, intr):
         """render_view for raw CameraArrays (live-viewer MiniCam path,
         reference `scene/cameras.py:91-103`). Same overflow-regrowth
-        guarantee. Dimensions must match the trainer's compiled opts."""
+        guarantee — including the aligned dummy budget: a drop that
+        instance/tile growth doesn't explain means the compact dummy
+        block overflowed (the frame is garbage, see ops/binning.py's
+        sentinels), so grow it to the worst case and re-render."""
         for _ in range(8):
-            color, depth, alpha, num_rendered, max_per_tile = \
+            color, depth, alpha, num_rendered, max_per_tile, dropped = \
                 self._render_eval(arrays, intr)
-            if not self._maybe_grow(int(num_rendered), int(max_per_tile)):
+            grew = self._maybe_grow(int(num_rendered), int(max_per_tile))
+            if not grew and int(dropped) > 0:
+                from ..ops.pallas_blend import CHUNK as _K
+                worst = self.opts.num_tiles * _K
+                if self.dummy_cap is None or self.dummy_cap < worst:
+                    self.dummy_cap = worst
+                    self.log(f"eval render: aligned dummy budget -> "
+                             f"worst case ({worst})")
+                    self._step_fn = None
+                    self._eval_fn = None
+                    grew = True
+            if not grew:
                 return color, depth, alpha
         raise RuntimeError("render budgets failed to converge after 8 probes")
 
@@ -487,8 +504,10 @@ class Trainer:
         other budgets don't explain (binning zeroed that step's
         gradients — see ops/binning.py's overflow sentinels)."""
         while self._inflight and (force or self._inflight[0][1].is_ready()):
-            pit, nr_arr, mpt_arr, drop_arr = self._inflight.popleft()
+            pit, nr_arr, mpt_arr, drop_arr, pad_arr = \
+                self._inflight.popleft()
             nr, mpt, drop = int(nr_arr), int(mpt_arr), int(drop_arr)
+            self._max_pad_seen = max(self._max_pad_seen, int(pad_arr))
             if drop > 0:
                 # The reference never truncates (resize callback,
                 # rasterize_points.cu:28-34); count and surface every
@@ -508,13 +527,19 @@ class Trainer:
                          f"per-tile {mpt}/{self.tile_capacity}) — "
                          "growing budgets")
                 self._maybe_grow(nr, mpt)
-            elif drop > 0 and self.dummy_cap is None:
+            elif drop > 0:
                 from ..ops.pallas_blend import CHUNK as _K
-                self.dummy_cap = self.opts.num_tiles * _K
-                self.log(f"it {pit}: aligned dummy budget -> "
-                         f"worst case ({self.dummy_cap})")
-                self._step_fn = None
-                self._eval_fn = None
+                worst = self.opts.num_tiles * _K
+                if self.dummy_cap is None or self.dummy_cap < worst:
+                    # The statistical/adapted budget starved: ratchet to
+                    # the exact worst case (one zero-grad step, then a
+                    # recompile — self-healing whatever _adapt_dummy
+                    # guessed).
+                    self.dummy_cap = worst
+                    self.log(f"it {pit}: aligned dummy budget -> "
+                             f"worst case ({self.dummy_cap})")
+                    self._step_fn = None
+                    self._eval_fn = None
 
     def _maybe_grow(self, num_rendered: int, max_per_tile: int) -> bool:
         grew = False
@@ -526,11 +551,31 @@ class Trainer:
             self.tile_capacity = _round_up(max_per_tile * 1.5, 256)
             grew = True
         if grew:
+            self._adapt_dummy()
             self.log(f"instance budget -> {self.inst_capacity}, "
-                     f"tile budget -> {self.tile_capacity}")
+                     f"tile budget -> {self.tile_capacity}, "
+                     f"dummy -> {self.dummy_cap}")
             self._step_fn = None
             self._eval_fn = None
         return grew
+
+    def _adapt_dummy(self):
+        """Size the aligned dummy budget from the MEASURED per-step pad
+        (max seen x 1.3 + the sqrt-slack floor) instead of binning's
+        statistical 0.75k/tile default — measured real scenes use
+        ~0.45k/tile, so this cuts every capacity-scaled stage (main
+        sort, instance gather, grad buffers, reduce sort) by ~20-30%.
+        Called only where a recompile happens anyway (budget growth /
+        capacity shrink); if the adapted budget ever starves, the
+        overflow sentinel in _drain_inflight ratchets it to the worst
+        case (one zero-grad step, self-healing)."""
+        if self._max_pad_seen <= 0:
+            return
+        from ..ops.pallas_blend import CHUNK as _K
+        t = self.opts.num_tiles
+        target = int(self._max_pad_seen * 1.3 + 2.5 * _K * t ** 0.5)
+        self.dummy_cap = min(t * _K,
+                             max(_K, (target + _K - 1) // _K * _K))
 
     # ------------------------------------------------------------ events
     def _densify_event(self, iteration: int):
@@ -575,6 +620,10 @@ class Trainer:
             self.inst_capacity = _round_up(
                 4 * max(n_act, 1) * self.cfg.instance_slack, 65536)
             self.tile_capacity = 2048
+            # Pad needs shrink with the cloud: drop the learned budget
+            # and re-learn from the shrunk cloud's steps.
+            self.dummy_cap = None
+            self._max_pad_seen = 0
             self._step_fn = None
             self._eval_fn = None
             self._probe_and_grow()
@@ -630,7 +679,7 @@ class Trainer:
                 # within ~1-2 steps instead of waiting for the next sync.
                 self._inflight.append(
                     (it, metrics.num_rendered, metrics.max_per_tile,
-                     metrics.instances_dropped))
+                     metrics.instances_dropped, metrics.aligned_pad))
                 self._drain_inflight()
 
                 # Host<->device sync discipline: materializing any metric

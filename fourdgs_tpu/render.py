@@ -36,6 +36,19 @@ class RenderOutputs(NamedTuple):
     #                         so steady state must be 0
     cov3d_com: jax.Array    # (P, 6) conditional 3D covariance (packed) —
     #                         the reference's covs_com (rasterize_points.cu:147)
+    aligned_pad: jax.Array = jnp.zeros((), jnp.int32)  # () int32 — dummy
+    #                         rows the aligned layout consumed this render
+    #                         (pallas backends; 0 on xla / on an overflow-
+    #                         sentinel step). Feeds the trainer's adaptive
+    #                         dummy-budget policy.
+
+
+def _aligned_pad(abins) -> jax.Array:
+    """Dummy rows the aligned layout consumed: total_len - live
+    instances. 0 on an overflow-sentinel step (total_len is then the
+    rp+1 sentinel, not a length — the trainer treats drops separately)."""
+    pad = abins.total_len - (abins.num_rendered - abins.dropped)
+    return jnp.where(abins.dropped > 0, 0, pad).astype(jnp.int32)
 
 
 def render(
@@ -104,7 +117,8 @@ def render(
             radii=proc.radius, visible=proc.visible,
             num_rendered=abins.num_rendered,
             max_per_tile=abins.max_per_tile,
-            instances_dropped=abins.dropped, cov3d_com=proc.cov3d)
+            instances_dropped=abins.dropped, cov3d_com=proc.cov3d,
+            aligned_pad=_aligned_pad(abins))
     if backend in ("pallas", "pallas_interpret"):
         abins = binning.bin_gaussians_aligned(
             jax.lax.stop_gradient(proc), opts, capacity, pallas_blend.CHUNK,
@@ -142,7 +156,10 @@ def render(
         color=color, depth=depth_img, alpha=alpha_img, flow=flow_img,
         radii=proc.radius, visible=proc.visible,
         num_rendered=num_rendered, max_per_tile=mpt,
-        instances_dropped=dropped, cov3d_com=proc.cov3d)
+        instances_dropped=dropped, cov3d_com=proc.cov3d,
+        aligned_pad=(_aligned_pad(abins)
+                     if backend in ("pallas", "pallas_interpret")
+                     else jnp.zeros((), jnp.int32)))
 
 
 def mark_visible(means3d: jax.Array, viewmatrix: jax.Array,

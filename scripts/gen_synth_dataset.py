@@ -22,17 +22,32 @@ def main():
     p.add_argument("--cpu", action="store_true", default=True,
                    help="force the CPU backend (default)")
     p.add_argument("--tpu", dest="cpu", action="store_false")
+    p.add_argument("--dynerf", action="store_true",
+                   help="DyNeRF-modality dataset (fixed multi-camera "
+                        "rig, video frames over [0,10], RGBA + sky; "
+                        "see data/synth.py:generate_dataset_dynerf)")
+    p.add_argument("--n_cams", type=int, default=15)
+    p.add_argument("--n_frames", type=int, default=60)
     args = p.parse_args()
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-    from fourdgs_tpu.data.synth import generate_dataset
-    out = generate_dataset(
-        args.out, n_train=args.n_train, n_test=args.n_test,
-        width=args.size, height=args.size, points_scale=args.points_scale,
-        seed=args.seed, verbose=True)
+    if args.dynerf:
+        from fourdgs_tpu.data.synth import generate_dataset_dynerf
+        out = generate_dataset_dynerf(
+            args.out if args.out != "datasets/synth_quality"
+            else "datasets/synth_dynerf",
+            n_cams=args.n_cams, n_frames=args.n_frames,
+            n_test_frames=args.n_test, width=args.size, height=args.size,
+            points_scale=args.points_scale, seed=args.seed, verbose=True)
+    else:
+        from fourdgs_tpu.data.synth import generate_dataset
+        out = generate_dataset(
+            args.out, n_train=args.n_train, n_test=args.n_test,
+            width=args.size, height=args.size,
+            points_scale=args.points_scale, seed=args.seed, verbose=True)
     print("dataset ready:", out)
 
 

@@ -152,3 +152,80 @@ def test_trainer_overflow_grow_then_clean(rng, tmp_path):
     assert tr.instances_dropped_total > 0
     assert drops[0] > 0                    # first step truncated
     assert drops[-1] == 0                  # budget grew; steady state clean
+
+
+def _gate_trainer(iterations=8):
+    from fourdgs_tpu.config import load_config
+    from fourdgs_tpu.engine.trainer import Trainer
+    import os
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "synth_gate")
+    cfg = load_config(None)
+    cfg.model.source_path = fixture
+    cfg.model.white_background = True
+    cfg.model.eval = True
+    cfg.gaussian_dim = 4
+    cfg.rot_4d = True
+    cfg.time_duration = (0.0, 1.0)
+    cfg.num_pts = 400
+    cfg.batch_size = 1
+    cfg.seed = 0
+    cfg.test_iterations = []
+    cfg.save_iterations = []
+    o = cfg.optimization
+    o.iterations = iterations
+    o.densify_from_iter = 10000
+    o.opacity_reset_interval = 10000
+    tr = Trainer(cfg, verbose=False)
+    # The dummy budget only exists on the aligned (pallas) path; tests
+    # run it through the interpreter.
+    tr.backend = "pallas_interpret"
+    tr._step_fn = None
+    tr._eval_fn = None
+    return tr
+
+
+def test_adaptive_dummy_budget_from_measured_pad(rng, tmp_path):
+    """The trainer must observe each step's aligned-pad usage and, at
+    the first recompile point (a budget grow), size dummy_cap from the
+    measured max (x1.3 + sqrt slack) instead of the statistical
+    default — and the adapted budget must not starve (no drops after)."""
+    tr = _gate_trainer()
+    pads = []
+    tr.train(num_iterations=4,
+             on_step=lambda it, m: pads.append(int(m.aligned_pad)))
+    assert max(pads) > 0                  # observability flows
+    assert tr._max_pad_seen == max(pads)
+    assert tr.dummy_cap is None           # no recompile point yet
+    # Force a grow event (recompile point): dummy_cap adapts.
+    tr._maybe_grow(int(0.9 * tr.inst_capacity), 1)
+    assert tr.dummy_cap is not None
+    from fourdgs_tpu.ops.pallas_blend import CHUNK as _K
+    t = tr.opts.num_tiles
+    want = int(max(pads) * 1.3 + 2.5 * _K * t ** 0.5)
+    want = min(t * _K, max(_K, (want + _K - 1) // _K * _K))
+    assert tr.dummy_cap == want
+    drops = []
+    tr.train(num_iterations=8,
+             on_step=lambda it, m: drops.append(int(m.instances_dropped)))
+    assert drops[-1] == 0                 # adapted budget holds
+
+
+def test_render_arrays_recovers_from_dummy_overflow(rng, tmp_path):
+    """ADVICE r4: an eval/viewer render whose compact dummy budget
+    overflows (binning's sentinel marks the whole layout unusable) must
+    grow the budget and re-render INSIDE render_arrays, not hand back
+    the garbage frame."""
+    import numpy as np
+    tr = _gate_trainer()
+    cam = tr.scene.train_cameras[0]
+    color_good, _, _ = tr.render_view(cam)
+    # Starve the dummy budget: every tile pads, so k is far too small.
+    tr.dummy_cap = 128
+    tr._eval_fn = None
+    color2, _, _ = tr.render_view(cam)
+    from fourdgs_tpu.ops.pallas_blend import CHUNK as _K
+    assert tr.dummy_cap == tr.opts.num_tiles * _K   # grew to worst case
+    np.testing.assert_allclose(np.asarray(color2),
+                               np.asarray(color_good), rtol=1e-4,
+                               atol=1e-5)
