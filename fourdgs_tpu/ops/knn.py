@@ -90,11 +90,26 @@ def morton_codes(points: jax.Array) -> jax.Array:
             | (_spread_bits_jnp(q[:, 2]) << 2))
 
 
+# Fixed decorrelating rotations for the multi-pass sweep (pass 0 is the
+# identity). A rotated cloud's Morton curve has entirely different
+# discontinuities, so sweep misses across passes are nearly independent
+# (measured: miss rate ~squares per pass on trained clouds,
+# scripts/probe_knn_recall.py). Distances are rotation-invariant, so a
+# distance merge of per-pass results is exact for every candidate found.
+def _pass_rotation(p: int) -> np.ndarray:
+    if p == 0:
+        return np.eye(3, dtype=np.float32)
+    rng = np.random.default_rng(1000 + p)
+    a = rng.normal(size=(3, 3))
+    q, r = np.linalg.qr(a)
+    return (q * np.sign(np.diag(r))).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "span", "exact",
-                                              "row_block"))
+                                              "row_block", "passes"))
 def knn(points: jax.Array, k: int = 20, span: int = 32768,
         exact: bool = False, valid: jax.Array | None = None,
-        row_block: int = 2048):
+        row_block: int = 2048, passes: int = 2):
     """k nearest neighbors of each point among `points`.
 
     Returns (idx (N, k) int32, dist2 (N, k) float32), nearest-first,
@@ -106,11 +121,13 @@ def knn(points: jax.Array, k: int = 20, span: int = 32768,
     (MXU matmul on centered coordinates) against the ±`span` surrounding
     sorted columns and reduces with `lax.approx_min_k`. Unlike a per-point
     curve window (whose recall collapses on clustered clouds), the 2·span
-    candidate slab covers a macroscopic fraction of the cloud — recall is
-    1.0 on adversarial blob tests at 50k points (tests/test_knn_window.py)
-    and the sweep degrades gracefully to fully exact when 2·span ≥ N.
-    Replaces the reference's exact CUDA grid query (pointops `knnquery`,
-    `utils/general_utils.py:170-184`).
+    candidate slab covers a macroscopic fraction of the cloud, and
+    `passes` independent sweeps over ROTATED Morton orders are merged by
+    distance — one pass measures recall@20 = 0.983 on a 300k trained
+    cloud, two passes 0.9999+ (scripts/probe_knn_recall.py; misses must
+    coincide across decorrelated curves). Degrades gracefully to fully
+    exact when 2·span >= N. Replaces the reference's exact CUDA grid
+    query (pointops `knnquery`, `utils/general_utils.py:170-184`).
     """
     n = points.shape[0]
     big = jnp.float32(jnp.inf)
@@ -122,6 +139,30 @@ def knn(points: jax.Array, k: int = 20, span: int = 32768,
         neg, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
 
+    if passes > 1 and 2 * span < n:
+        res = [_knn_sweep(points @ jnp.asarray(_pass_rotation(p)).T,
+                          k, span, valid, row_block)
+               for p in range(passes)]
+        idx_all = jnp.concatenate([r[0] for r in res], axis=1)
+        d2_all = jnp.concatenate([r[1] for r in res], axis=1)
+        # Dedup (the same neighbor found by several passes): sort pairs
+        # by index, kill repeats, then re-select the k nearest.
+        idx_s, d2_s = jax.lax.sort((idx_all, d2_all), dimension=1,
+                                   num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((n, 1), bool), idx_s[:, 1:] == idx_s[:, :-1]],
+            axis=1)
+        d2_s = jnp.where(dup, big, d2_s)
+        neg, j = jax.lax.top_k(-d2_s, k)
+        return jnp.take_along_axis(idx_s, j, axis=1), -neg
+    return _knn_sweep(points, k, span, valid, row_block)
+
+
+def _knn_sweep(points: jax.Array, k: int, span: int,
+               valid: jax.Array | None, row_block: int):
+    """One block-exact Morton-window sweep (see `knn`)."""
+    n = points.shape[0]
+    big = jnp.float32(jnp.inf)
     code = morton_codes(points)
     if valid is not None:
         code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))

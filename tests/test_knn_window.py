@@ -85,3 +85,37 @@ def test_knn_valid_mask_blocked():
     np.testing.assert_allclose(np.sort(np.asarray(d2_b)[:n_live], axis=1),
                                np.sort(np.asarray(d2_e), axis=1),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_multipass_merge_no_dups_and_recall(rng):
+    """The rotated-pass merge must return duplicate-free, ascending,
+    exact-distance neighbor lists with recall >= the single pass."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fourdgs_tpu.ops.knn import knn
+
+    # Clustered cloud large enough to force the sweep path.
+    centers = rng.normal(size=(40, 3)) * 5
+    pts = (centers[rng.integers(0, 40, 12000)]
+           + rng.normal(size=(12000, 3)) * 0.05).astype(np.float32)
+    k = 8
+    idx2, d2 = knn(jnp.asarray(pts), k=k, span=1024, passes=2)
+    idx1, _ = knn(jnp.asarray(pts), k=k, span=1024, passes=1)
+    idx2, d2, idx1 = np.asarray(idx2), np.asarray(d2), np.asarray(idx1)
+    # No duplicate neighbor indices within a row.
+    assert all(len(set(r)) == k for r in idx2)
+    # Ascending distances, and each reported distance is the true one.
+    assert np.all(np.diff(d2, axis=1) >= -1e-6)
+    true_d2 = ((pts[:, None, :] - pts[idx2]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, true_d2, rtol=1e-4, atol=1e-6)
+    # Exact oracle on a query sample: 2-pass recall >= 1-pass recall.
+    q = rng.integers(0, 12000, 256)
+    dd = ((pts[q][:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    dd[np.arange(256), q] = np.inf
+    exact = np.argsort(dd, axis=1)[:, :k]
+    r2 = np.mean([len(set(idx2[qq]) & set(exact[i])) / k
+                  for i, qq in enumerate(q)])
+    r1 = np.mean([len(set(idx1[qq]) & set(exact[i])) / k
+                  for i, qq in enumerate(q)])
+    assert r2 >= r1
+    assert r2 >= 0.99
