@@ -9,7 +9,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from fourdgs_tpu.ops.preprocess import RenderOptions
 from fourdgs_tpu.parallel import make_mesh
 from fourdgs_tpu.parallel.strips import (join_strips, strip_batch_arrays,
-                                         strip_options)
+                                         strip_cameras, strip_options)
 from fourdgs_tpu.render import render
 
 from utils import look_at_camera, random_scene
@@ -84,3 +84,71 @@ def test_strips_sharded_gradients(rng):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_trainer_eval_strips_matches_full_frame(rng, tmp_path):
+    """Trainer.evaluate/render_view must shard eval frames over strips
+    when cfg.strips > 1 and reassemble to the SAME image the full-frame
+    eval path produces (VERDICT r4 item 7)."""
+    import os
+    from fourdgs_tpu.config import load_config
+    from fourdgs_tpu.engine.trainer import Trainer
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "synth_gate")
+    cfg = load_config(None)
+    cfg.model.source_path = fixture
+    cfg.model.white_background = True
+    cfg.model.eval = True
+    cfg.gaussian_dim = 4
+    cfg.rot_4d = True
+    cfg.time_duration = (0.0, 1.0)
+    cfg.num_pts = 300
+    cfg.batch_size = 1
+    cfg.seed = 0
+    cfg.test_iterations = []
+    cfg.save_iterations = []
+    cfg.optimization.iterations = 2
+
+    tr = Trainer(cfg, verbose=False)
+    cam = tr.scene.test_cameras[0]
+    color_full, depth_full, alpha_full = tr.render_view(cam)
+
+    tr.cfg.strips = 4
+    assert cam.height % 4 == 0
+    color_s, depth_s, alpha_s = tr.render_view(cam)
+    assert color_s.shape == color_full.shape
+
+    # The eval strips must equal the CANONICAL strips render — the same
+    # strip_cameras construction the sharded train step blends and
+    # differentiates (engine/step.py) — exactly.
+    from fourdgs_tpu.engine.trainer import camera_intrinsics
+    from fourdgs_tpu.models.gaussians import activate
+    from fourdgs_tpu.render import render as render_fn
+
+    sopts = strip_options(tr.opts, 4)
+    act = activate(tr.gauss.params, tr.gauss.n_active)
+    strips_ref = []
+    for s in strip_cameras(cam, 4):
+        out = render_fn(
+            means3d=act.means3d, t=act.t, scales=act.scales,
+            scales_t=act.scales_t, rotations=act.rotations,
+            rotations_r=act.rotations_r, opacity=act.opacity, sh=act.sh,
+            active=act.active,
+            camera=jax.tree.map(jnp.asarray, s.arrays()), bg=tr.bg,
+            opts=sopts, capacity=tr.inst_capacity,
+            max_per_tile=tr.tile_capacity, backend=tr.backend)
+        strips_ref.append(np.clip(np.asarray(out.color), 0.0, 1.0))
+    np.testing.assert_allclose(np.asarray(color_s),
+                               np.concatenate(strips_ref, axis=0),
+                               atol=3e-5)
+
+    # Against the full-frame eval, agreement is looser: strip cameras
+    # carry the full frame's fovy into preprocess's guard-band clamping
+    # (reference forward.cu limy), so rect clamping of off-strip
+    # gaussians can differ by a tile — same behavior as the strips
+    # TRAIN path, bounded small.
+    np.testing.assert_allclose(np.asarray(color_s),
+                               np.asarray(color_full), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(alpha_s),
+                               np.asarray(alpha_full), atol=5e-3)
