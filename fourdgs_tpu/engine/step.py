@@ -73,10 +73,13 @@ class StepMetrics(NamedTuple):
     n_active: jax.Array
     rigid: jax.Array
     motion: jax.Array
-    aligned_pad: jax.Array = jnp.zeros((), jnp.int32)  # () int32 max
-    #                               over batch — dummy rows consumed by
-    #                               the aligned layout (adaptive-budget
-    #                               observability)
+    aligned_pad: jax.Array = None  # () int32 max over batch — dummy
+    #                               rows consumed by the aligned layout
+    #                               (adaptive-budget observability).
+    #                               Default stays a plain constant: a jnp
+    #                               default would initialize the XLA
+    #                               backend at import time and break
+    #                               jax.distributed workers.
 
 
 def sh_annealing_mask(step, cfg: StepConfig, opts: RenderOptions,

@@ -144,6 +144,13 @@ def _tri_cum_incl():
     return (r <= c).astype(jnp.float32)
 
 
+def _tri_cum_excl():
+    """(K, K) with [i, j] = 1 iff i < j: x @ T = exclusive prefix sum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r < c).astype(jnp.float32)
+
+
 def _tri_suf_incl():
     """(K, K) with [i, j] = 1 iff i >= j: x @ T = inclusive suffix sum."""
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
@@ -272,6 +279,26 @@ def _prefix_blocks(x, tri_cum, terms):
     return jnp.concatenate(blocks, axis=1)
 
 
+def _prefix_excl_blocks(x, tri_cum_x, terms):
+    """EXCLUSIVE prefix sum along the lane axis, blockwise (see
+    _prefix_blocks): out[j] = sum_{k < j} x[k]."""
+    kw = x.shape[1]
+    if kw == CHUNK:
+        return _mm_exact_rhs(x, tri_cum_x, terms)
+    blocks = []
+    carry = None
+    for b in range(kw // CHUNK):
+        xb = x[:, b * CHUNK:(b + 1) * CHUNK]
+        cb = _mm_exact_rhs(xb, tri_cum_x, terms)
+        if carry is not None:
+            cb = cb + carry
+        # inclusive total of this block + earlier = exclusive-at-last
+        # + the last lane itself.
+        carry = cb[:, CHUNK - 1: CHUNK] + xb[:, CHUNK - 1: CHUNK]
+        blocks.append(cb)
+    return jnp.concatenate(blocks, axis=1)
+
+
 def _suffix_blocks(x, tri_suf, terms):
     """Inclusive suffix sum along the lane axis, blockwise (see
     _prefix_blocks)."""
@@ -379,13 +406,14 @@ def _forward_kernel(cfg: PallasBlendConfig):
     def kernel(start_ref, count_ref, inst_hbm, out_ref, scratch, acc_ref,
                state_ref, sems):
         g = pl.program_id(0)
-        tri_cum = _tri_cum_incl()
+        tri_cum_x = _tri_cum_excl()
         eye_pix = _eye(PIX)
 
         def tile_body(tl, tile_carry):
-            _forward_tile(cfg, g * cfg.tiles_per_program + tl, tl, tri_cum,
-                          eye_pix, start_ref, count_ref, inst_hbm, out_ref,
-                          scratch, acc_ref, state_ref, sems)
+            _forward_tile(cfg, g * cfg.tiles_per_program + tl, tl,
+                          tri_cum_x, eye_pix, start_ref, count_ref,
+                          inst_hbm, out_ref, scratch, acc_ref, state_ref,
+                          sems)
             return tile_carry
 
         jax.lax.fori_loop(0, cfg.tiles_per_program, tile_body, 0)
@@ -393,7 +421,7 @@ def _forward_kernel(cfg: PallasBlendConfig):
     return kernel
 
 
-def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
+def _forward_tile(cfg, t, tl, tri_cum_x, eye_pix, start_ref, count_ref,
                   inst_hbm, out_ref, scratch, acc_ref, state_ref, sems):
         kw = cfg.unroll * CHUNK                    # lanes per loop step
         start = start_ref[t]
@@ -457,15 +485,19 @@ def _forward_tile(cfg, t, tl, tri_cum, eye_pix, start_ref, count_ref,
             # (forward.cu:592-596).
             a_v = jnp.where(valid, alpha, 0.0)
             lcv = jnp.log1p(-a_v)
-            q = t_tr * jnp.exp(
-                _prefix_blocks(lcv, tri_cum, cfg.fwd_terms))  # (256, kw)
+            # EXCLUSIVE prefix: q_x[j] = T BEFORE lane j, which is what
+            # the weight needs directly — and the inclusive T (the
+            # reference's test_T for the saturation exit) is one
+            # multiply by (1 - a), killing the per-element divide the
+            # inclusive formulation paid.
+            q_x = t_tr * jnp.exp(
+                _prefix_excl_blocks(lcv, tri_cum_x, cfg.fwd_terms))
+            q = q_x * (1.0 - a_v)                      # (256, kw)
             fail = valid & (q < gm.T_EPS)
             used = valid & ~fail
             a_u = jnp.where(fail, 0.0, a_v)
             lcu = jnp.where(fail, 0.0, lcv)
-            # T before lane j = q[j] / (1 - a[j]) — a divide instead of a
-            # second exp (a_v <= 0.99 keeps the quotient well-conditioned).
-            w = a_u * q / (1.0 - a_v)                  # (256, kw)
+            w = a_u * q_x                              # (256, kw)
 
             # contrib[f, p] = sum_k feat[f, k] * w[p, k]: one MXU
             # contraction over the lane axis (rows 6..13 incl. padding),

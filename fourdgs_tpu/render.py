@@ -36,11 +36,15 @@ class RenderOutputs(NamedTuple):
     #                         so steady state must be 0
     cov3d_com: jax.Array    # (P, 6) conditional 3D covariance (packed) —
     #                         the reference's covs_com (rasterize_points.cu:147)
-    aligned_pad: jax.Array = jnp.zeros((), jnp.int32)  # () int32 — dummy
-    #                         rows the aligned layout consumed this render
-    #                         (pallas backends; 0 on xla / on an overflow-
-    #                         sentinel step). Feeds the trainer's adaptive
-    #                         dummy-budget policy.
+    aligned_pad: jax.Array = None  # () int32 — dummy rows the aligned
+    #                         layout consumed this render (pallas
+    #                         backends; 0 on xla / on an overflow-
+    #                         sentinel step). Feeds the trainer's
+    #                         adaptive dummy-budget policy. NOTE: the
+    #                         default must stay a plain constant — a
+    #                         jnp default would initialize the XLA
+    #                         backend at import time, breaking
+    #                         jax.distributed workers.
 
 
 def _aligned_pad(abins) -> jax.Array:

@@ -20,12 +20,17 @@ def main(model_dir):
     truncated = [(r["step"], r["instances_dropped"]) for r in rows
                  if r.get("instances_dropped")]
 
-    print("| iteration | test PSNR | points | train PSNR (batch) | wall (s) |")
-    print("|---|---|---|---|---|")
+    has_reg = any(r.get("rigid") or r.get("motion") for r in steps)
+    reg_hdr = " rigid | motion |" if has_reg else ""
+    print("| iteration | test PSNR | points | train PSNR (batch) "
+          f"| wall (s) |{reg_hdr}")
+    print("|---|---|---|---|---|" + ("---|---|" if has_reg else ""))
     for it, psnr in evals:
         nearest = min(steps, key=lambda r: abs(r["step"] - it))
+        reg = (f" {nearest.get('rigid', 0):.2e} "
+               f"| {nearest.get('motion', 0):.2e} |" if has_reg else "")
         print(f"| {it} | {psnr:.2f} | {int(nearest['total_points'])} "
-              f"| {nearest['psnr']:.2f} | {nearest['wall_s']:.0f} |")
+              f"| {nearest['psnr']:.2f} | {nearest['wall_s']:.0f} |{reg}")
     if steps:
         last = steps[-1]
         n_iter = last["step"]
