@@ -117,6 +117,13 @@ class TrainConfig:
     #                                    (parallel/strips.py); loss math is
     #                                    identical to full-frame training
     eval_interval: int = 500           # used when exhaust_test
+    gt_cache_mb: int = 4096            # device-resident GT cache budget:
+    #                                    train images upload ONCE as u8
+    #                                    RGBA and each step gathers +
+    #                                    composites on device (no per-step
+    #                                    host transfer / IO). Auto-skipped
+    #                                    when the set needs resizing or
+    #                                    exceeds this budget; 0 disables
 
 
 _GROUP_KEYS = {"ModelParams": "model", "PipelineParams": "pipeline",

@@ -182,6 +182,8 @@ class Trainer:
         self.instances_dropped_total = 0  # truncated instance list
         self._max_pad_seen = 0     # max aligned dummy rows any step used
         #                            (feeds _adapt_dummy)
+        self._gt_cache = None      # (imgs, alphas) device-resident GT
+        self._gt_fetch = None      # jitted index -> batch gather
         self.metrics_log = MetricsLogger(cfg.model.model_path)
         # TensorBoard event file in the model dir (the reference's
         # SummaryWriter(args.model_path), `train.py:255-263`); scalars
@@ -317,10 +319,17 @@ class Trainer:
     def _batch_arrays(self, idx: List[int], train: bool = True):
         cams = [self.scene.train_cameras[i] if train
                 else self.scene.test_cameras[i] for i in idx]
-        white = self.cfg.model.white_background
-        gts = list(self._io_pool.map(lambda c: fetch_gt(c, white), cams))
-        gt = np.stack([g[0] for g in gts])
-        alpha = np.stack([g[1] for g in gts])
+        if train and self._gt_cache is not None:
+            # Device-resident GT: ship only the index list; the train
+            # loop gathers + returns committed device arrays (no
+            # per-step host IO or host->device image transfer).
+            gt, alpha = np.asarray(idx, np.int32), None
+        else:
+            white = self.cfg.model.white_background
+            gts = list(self._io_pool.map(
+                lambda c: fetch_gt(c, white), cams))
+            gt = np.stack([g[0] for g in gts])
+            alpha = np.stack([g[1] for g in gts])
         n = self.cfg.strips
         if n > 1:
             # Camera-major strip expansion: cams/intr lead with B*n while
@@ -334,6 +343,39 @@ class Trainer:
             arrays = stack_cameras(cams)
             intr = np.stack([camera_intrinsics(c) for c in cams])
         return arrays, gt, alpha, intr
+
+    def _maybe_build_gt_cache(self):
+        """Upload the full train-image set to DEVICE memory once (f32,
+        exactly fetch_gt's composited+masked outputs) so each step
+        gathers its batch on-device instead of loading/transferring
+        ~10 MB of images across the host boundary per iteration. A
+        TPU-native addition (16 GB HBM easily holds DNeRF/DyNeRF-scale
+        sets; the reference streams from a CUDA DataLoader every step,
+        `utils/data_utils.py:16-34`) — and on this environment's
+        serializing tunnel it also sidesteps a per-call input-retention
+        leak that OOM-killed a 9.4k-step run at ~14 MB/step. Skipped
+        when frames are heterogeneous or the set exceeds
+        cfg.gt_cache_mb (0 disables)."""
+        if self._gt_cache is not None or self.cfg.gt_cache_mb <= 0:
+            return
+        cams = self.scene.train_cameras
+        if not cams:
+            return
+        w, h = cams[0].width, cams[0].height
+        if any(c.width != w or c.height != h for c in cams):
+            return
+        total_mb = len(cams) * h * w * 16 / 1e6   # f32 rgb + alpha
+        if total_mb > self.cfg.gt_cache_mb:
+            return
+        white = self.cfg.model.white_background
+        gts = list(self._io_pool.map(lambda c: fetch_gt(c, white), cams))
+        imgs = jnp.asarray(np.stack([g[0] for g in gts]))
+        alphas = jnp.asarray(np.stack([g[1] for g in gts]))
+        self._gt_cache = (imgs, alphas)
+        self._gt_fetch = jax.jit(
+            lambda i: (imgs[i], alphas[i]))
+        self.log(f"GT cache: {len(cams)} frames ({total_mb:.0f} MB) "
+                 "device-resident")
 
     def _epoch_batches(self):
         n = len(self.scene.train_cameras)
@@ -717,6 +759,7 @@ class Trainer:
         save_iters = (set(self.cfg.save_iterations)
                       | set(self.cfg.checkpoint_iterations))
 
+        self._maybe_build_gt_cache()
         t_start = time.perf_counter()
         ema_loss = 0.0
         it = self.step
@@ -737,6 +780,8 @@ class Trainer:
             for _ in range(total - it):
                 it += 1
                 arrays, gt, alpha, intr = next(stream)
+                if alpha is None:        # GT-cache marker: gt = indices
+                    gt, alpha = self._gt_fetch(jnp.asarray(gt))
                 if self._step_fn is None:
                     self._build_step()
                 self.gauss, self.env, metrics = self._step_fn(

@@ -206,3 +206,27 @@ def test_eval_infer_fast_path(tmp_path):
                                atol=2e-2)
     np.testing.assert_allclose(np.asarray(alpha_i), np.asarray(alpha_e),
                                atol=2e-2)
+
+
+def test_gt_device_cache_matches_host_path(tmp_path):
+    """The device-resident GT cache must reproduce the host-loading
+    path bit-exactly (same fetch_gt outputs, gathered on device)."""
+    import jax.numpy as jnp
+    from fourdgs_tpu.engine.trainer import fetch_gt
+    _write_scene(tmp_path)
+    cfg = _config(tmp_path)
+    cfg.optimization.iterations = 3
+
+    tr = Trainer(cfg, verbose=False)
+    tr._maybe_build_gt_cache()
+    assert tr._gt_cache is not None
+
+    idx = [0, 2]
+    _, gt_i, al_i, _ = tr._batch_arrays(idx)
+    assert al_i is None                       # cache marker
+    gt_c, al_c = tr._gt_fetch(jnp.asarray(gt_i))
+    white = cfg.model.white_background
+    for row, i in enumerate(idx):
+        img_h, al_h = fetch_gt(tr.scene.train_cameras[i], white)
+        np.testing.assert_array_equal(np.asarray(gt_c[row]), img_h)
+        np.testing.assert_array_equal(np.asarray(al_c[row]), al_h)
