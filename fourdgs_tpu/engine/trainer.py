@@ -423,80 +423,80 @@ class Trainer:
         eval_infer = self.eval_infer
 
         def eval_fn(gauss: GaussianState, env_tex, cam, intr):
-                from ..ops import gaussmath as gm_
-                act = activate(gauss.params, gauss.n_active)
-                extra = {}
-                means3d, opacity, active = act.means3d, act.opacity, act.active
-                # Reference oracle paths (`arguments/__init__.py:72-73`,
-                # `gaussian_renderer/__init__.py:73-147`): precompute color /
-                # conditional covariance outside the fused preprocess. For 4D,
-                # the python path precomputes the conditional covariance +
-                # mean offset, folds the temporal marginal into opacity, and
-                # prefilters gaussians with marginal ≤ 0.05 (the reference
-                # physically drops them; masking `active` is our static-shape
-                # equivalent — both render nothing for those gaussians).
-                delta_mean = None
-                if pipe.compute_cov3D_python:
-                    if opts.gaussian_dim == 4 and opts.rot_4d:
-                        sxyzt = jnp.concatenate(
-                            [act.scales, act.scales_t[..., None]], axis=-1)
-                        cov3, delta_mean, marginal, _ = \
-                            gm_.condition_cov4d_columnar(
-                                sxyzt, act.rotations, act.rotations_r,
-                                act.t, cam.timestamp)
-                        means3d = means3d + delta_mean
-                        extra["cov3d_precomp"] = cov3
-                    else:
-                        extra["cov3d_precomp"] = gm_.cov3d_columnar(
-                            act.scales, act.rotations)
-                        if opts.gaussian_dim == 4:
-                            marginal = gm_.marginal_t_separable(
-                                act.t, act.scales_t, cam.timestamp)
-                    if opts.gaussian_dim == 4:
-                        opacity = opacity * marginal
-                        active = active & (marginal > 0.05)
-                if pipe.convert_SHs_python:
-                    from ..ops import sh as shlib_
-                    # The reference python SH path evaluates at the SHIFTED
-                    # means (`gaussian_renderer/__init__.py:100-104`) —
-                    # unlike its CUDA path (forward.cu:480-487, unshifted).
-                    if (delta_mean is None and opts.gaussian_dim == 4
-                            and opts.rot_4d):
-                        sxyzt = jnp.concatenate(
-                            [act.scales, act.scales_t[..., None]], axis=-1)
-                        _, delta_mean, _, _ = gm_.condition_cov4d_columnar(
+            from ..ops import gaussmath as gm_
+            act = activate(gauss.params, gauss.n_active)
+            extra = {}
+            means3d, opacity, active = act.means3d, act.opacity, act.active
+            # Reference oracle paths (`arguments/__init__.py:72-73`,
+            # `gaussian_renderer/__init__.py:73-147`): precompute color /
+            # conditional covariance outside the fused preprocess. For 4D,
+            # the python path precomputes the conditional covariance +
+            # mean offset, folds the temporal marginal into opacity, and
+            # prefilters gaussians with marginal ≤ 0.05 (the reference
+            # physically drops them; masking `active` is our static-shape
+            # equivalent — both render nothing for those gaussians).
+            delta_mean = None
+            if pipe.compute_cov3D_python:
+                if opts.gaussian_dim == 4 and opts.rot_4d:
+                    sxyzt = jnp.concatenate(
+                        [act.scales, act.scales_t[..., None]], axis=-1)
+                    cov3, delta_mean, marginal, _ = \
+                        gm_.condition_cov4d_columnar(
                             sxyzt, act.rotations, act.rotations_r,
                             act.t, cam.timestamp)
-                    shifted = (act.means3d + delta_mean
-                               if delta_mean is not None
-                               and not pipe.compute_cov3D_python
-                               else means3d)
-                    dirs = jax.lax.stop_gradient(shifted - cam.campos)
-                    dirs = dirs / jnp.maximum(
-                        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-                    if opts.gaussian_dim == 3 or opts.force_sh_3d:
-                        rgb = shlib_.sh_to_rgb(shlib_.eval_sh3d(act.sh, dirs))
-                    else:
-                        rgb = shlib_.sh_to_rgb(shlib_.eval_sh4d(
-                            act.sh, dirs, act.t - cam.timestamp,
-                            opts.time_duration))
-                    extra["colors_precomp"] = rgb
-                out = render(
-                    means3d=means3d, t=act.t, scales=act.scales,
-                    scales_t=act.scales_t, rotations=act.rotations,
-                    rotations_r=act.rotations_r, opacity=opacity,
-                    sh=act.sh, active=active, camera=cam, bg=bg,
-                    opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
-                    backend=backend, dummy_cap=dummy_cap,
-                    infer=(eval_infer and backend.startswith("pallas")
-                           and not extra), **extra)
-                color = out.color
-                if has_env:
-                    color = envmap_lib.composite_sky(
-                        color, out.alpha, env_tex, cam.viewmatrix, intr)
-                return (jnp.clip(color, 0.0, 1.0), out.depth, out.alpha,
-                        out.num_rendered, out.max_per_tile,
-                        out.instances_dropped)
+                    means3d = means3d + delta_mean
+                    extra["cov3d_precomp"] = cov3
+                else:
+                    extra["cov3d_precomp"] = gm_.cov3d_columnar(
+                        act.scales, act.rotations)
+                    if opts.gaussian_dim == 4:
+                        marginal = gm_.marginal_t_separable(
+                            act.t, act.scales_t, cam.timestamp)
+                if opts.gaussian_dim == 4:
+                    opacity = opacity * marginal
+                    active = active & (marginal > 0.05)
+            if pipe.convert_SHs_python:
+                from ..ops import sh as shlib_
+                # The reference python SH path evaluates at the SHIFTED
+                # means (`gaussian_renderer/__init__.py:100-104`) —
+                # unlike its CUDA path (forward.cu:480-487, unshifted).
+                if (delta_mean is None and opts.gaussian_dim == 4
+                        and opts.rot_4d):
+                    sxyzt = jnp.concatenate(
+                        [act.scales, act.scales_t[..., None]], axis=-1)
+                    _, delta_mean, _, _ = gm_.condition_cov4d_columnar(
+                        sxyzt, act.rotations, act.rotations_r,
+                        act.t, cam.timestamp)
+                shifted = (act.means3d + delta_mean
+                           if delta_mean is not None
+                           and not pipe.compute_cov3D_python
+                           else means3d)
+                dirs = jax.lax.stop_gradient(shifted - cam.campos)
+                dirs = dirs / jnp.maximum(
+                    jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+                if opts.gaussian_dim == 3 or opts.force_sh_3d:
+                    rgb = shlib_.sh_to_rgb(shlib_.eval_sh3d(act.sh, dirs))
+                else:
+                    rgb = shlib_.sh_to_rgb(shlib_.eval_sh4d(
+                        act.sh, dirs, act.t - cam.timestamp,
+                        opts.time_duration))
+                extra["colors_precomp"] = rgb
+            out = render(
+                means3d=means3d, t=act.t, scales=act.scales,
+                scales_t=act.scales_t, rotations=act.rotations,
+                rotations_r=act.rotations_r, opacity=opacity,
+                sh=act.sh, active=active, camera=cam, bg=bg,
+                opts=opts, capacity=cap, max_per_tile=mpt, chunk=chunk,
+                backend=backend, dummy_cap=dummy_cap,
+                infer=(eval_infer and backend.startswith("pallas")
+                       and not extra), **extra)
+            color = out.color
+            if has_env:
+                color = envmap_lib.composite_sky(
+                    color, out.alpha, env_tex, cam.viewmatrix, intr)
+            return (jnp.clip(color, 0.0, 1.0), out.depth, out.alpha,
+                    out.num_rendered, out.max_per_tile,
+                    out.instances_dropped)
 
         return eval_fn
 
