@@ -177,8 +177,14 @@ def main():
         assert len(vals) == REPS, f"reps not distinct: {vals} (replay?)"
         med = float(np.median(times))
         assert med > 1e-4, f"implausible {med*1e3:.3f} ms/iter (replay?)"
-        spread = (max(times) - min(times)) / med
-        return med, spread
+        # The serializing TPU tunnel occasionally stalls a single rep by
+        # SECONDS (observed 54x median); the median is robust to that,
+        # but (max-min)/median is not. Spread is computed over the reps
+        # within 3x the median; stalled reps are counted and reported
+        # rather than silently folded into a meaningless 5000% figure.
+        good = [t for t in times if t < 3 * med]
+        spread = (max(good) - min(good)) / med
+        return med, spread, REPS - len(good)
 
     if "--render" in sys.argv:
         # Forward-only mode: the reference's headline claim is real-time
@@ -195,15 +201,18 @@ def main():
             return (jnp.mean(out.color) + jnp.mean(out.depth)
                     + jnp.mean(out.alpha))
 
-        med, spread = timed_scan(fwd_step)
+        med, spread, stalls = timed_scan(fwd_step)
         fps = 1.0 / med
-        print(json.dumps({
+        line = {
             "metric": f"render frames/s/chip ({label})",
             "value": round(fps, 2),
             "unit": "frames/s",
             "vs_baseline": round(fps * h * w / BASELINE_RAYS_PER_S, 3),
             "spread_pct": round(100 * spread, 1),
-        }))
+        }
+        if stalls:
+            line["stalled_reps"] = stalls
+        print(json.dumps(line))
         return
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -219,15 +228,18 @@ def main():
         (loss, _), grads = grad_fn(d2, aux)
         return loss + sum(jnp.mean(g) for g in jax.tree.leaves(grads))
 
-    med, spread = timed_scan(grad_step)
+    med, spread, stalls = timed_scan(grad_step)
     rays_per_s = h * w / med
-    print(json.dumps({
+    line = {
         "metric": f"fwd+bwd rays/s/chip ({label})",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
         "spread_pct": round(100 * spread, 1),
-    }))
+    }
+    if stalls:
+        line["stalled_reps"] = stalls
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
