@@ -372,8 +372,14 @@ class Trainer:
         imgs = jnp.asarray(np.stack([g[0] for g in gts]))
         alphas = jnp.asarray(np.stack([g[1] for g in gts]))
         self._gt_cache = (imgs, alphas)
+        # The cached arrays MUST be jit ARGUMENTS, not closure captures:
+        # a captured device array is lowered as a program CONSTANT, so
+        # XLA serializes the whole GT set into the executable (a 2.56 GB
+        # "captured constants" compile that hangs the serializing TPU
+        # tunnel). As arguments, the committed device buffers are passed
+        # by reference and only the index list crosses the host boundary.
         self._gt_fetch = jax.jit(
-            lambda i: (imgs[i], alphas[i]))
+            lambda im, al, i: (im[i], al[i]))
         self.log(f"GT cache: {len(cams)} frames ({total_mb:.0f} MB) "
                  "device-resident")
 
@@ -781,7 +787,8 @@ class Trainer:
                 it += 1
                 arrays, gt, alpha, intr = next(stream)
                 if alpha is None:        # GT-cache marker: gt = indices
-                    gt, alpha = self._gt_fetch(jnp.asarray(gt))
+                    gt, alpha = self._gt_fetch(*self._gt_cache,
+                                               jnp.asarray(gt))
                 if self._step_fn is None:
                     self._build_step()
                 self.gauss, self.env, metrics = self._step_fn(

@@ -224,7 +224,7 @@ def test_gt_device_cache_matches_host_path(tmp_path):
     idx = [0, 2]
     _, gt_i, al_i, _ = tr._batch_arrays(idx)
     assert al_i is None                       # cache marker
-    gt_c, al_c = tr._gt_fetch(jnp.asarray(gt_i))
+    gt_c, al_c = tr._gt_fetch(*tr._gt_cache, jnp.asarray(gt_i))
     white = cfg.model.white_background
     for row, i in enumerate(idx):
         img_h, al_h = fetch_gt(tr.scene.train_cameras[i], white)
